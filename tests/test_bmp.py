@@ -1,0 +1,58 @@
+"""BMP writer tests: format contract of the reference's write_BMP
+(reference: src/bmp_writer.cpp:19-67): 24bpp BITMAPCOREHEADER, pixel offset
+0x1A, bottom-up BGR rows, width%4 padding."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pim_jpeg_decoder_tpu.io.bmp import encode_bmp, read_bmp
+
+
+class TestBmpFormat:
+    def test_header_layout(self):
+        rgb = np.zeros((2, 3, 3), np.uint8)
+        data = encode_bmp(rgb)
+        assert data[:2] == b"BM"
+        file_size, reserved, offset = struct.unpack_from("<III", data, 2)
+        assert offset == 0x1A
+        assert reserved == 0
+        assert file_size == len(data)
+        hdr_size, width, height, planes, bpp = struct.unpack_from("<IHHHH", data, 14)
+        assert (hdr_size, width, height, planes, bpp) == (12, 3, 2, 1, 24)
+
+    @pytest.mark.parametrize("width,pad", [(4, 0), (5, 1), (6, 2), (7, 3), (8, 0)])
+    def test_row_padding(self, width, pad):
+        """24bpp padding equals width % 4 (see SURVEY.md C23)."""
+        rgb = np.zeros((2, width, 3), np.uint8)
+        data = encode_bmp(rgb)
+        row_bytes = width * 3 + pad
+        assert len(data) == 0x1A + 2 * row_bytes
+        assert pad == width % 4
+
+    def test_bottom_up_bgr(self):
+        rgb = np.zeros((2, 1, 3), np.uint8)
+        rgb[0, 0] = [1, 2, 3]      # top row
+        rgb[1, 0] = [9, 8, 7]      # bottom row
+        data = encode_bmp(rgb)
+        pixels = data[0x1A:]
+        # First stored row is the bottom image row, in B,G,R order.
+        assert list(pixels[:3]) == [7, 8, 9]
+
+    def test_roundtrip(self, rng):
+        rgb = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(read_bmp(encode_bmp(rgb)), rgb)
+
+    def test_pil_can_read(self, rng):
+        import io
+        from PIL import Image
+        rgb = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+        img = np.array(Image.open(io.BytesIO(encode_bmp(rgb))).convert("RGB"))
+        np.testing.assert_array_equal(img, rgb)
+
+    def test_rejects_bad_input(self):
+        with pytest.raises(ValueError):
+            encode_bmp(np.zeros((4, 4), np.uint8))
+        with pytest.raises(ValueError):
+            encode_bmp(np.zeros((4, 4, 3), np.float32))
