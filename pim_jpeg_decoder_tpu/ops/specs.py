@@ -41,6 +41,13 @@ FIX_3_072711026 = 25172
 # every intermediate fits in int32 even for pathological 16-bit quant tables.
 DEQUANT_CLAMP = 32767
 
+# IDCT output samples are clamped to the 8-bit sample range (centered at 0)
+# per ITU-T T.81 A.3.1 — libjpeg does the same via its range-limit table, so
+# this keeps 4:4:4/grayscale decode pixel-exact vs libjpeg even when noise
+# blocks push the IDCT out of range.
+SAMPLE_MIN = -128
+SAMPLE_MAX = 127
+
 # --- Fixed-point BT.601 color conversion (scale 2^16) ------------------------
 # R = Y + 1.402 Cr; G = Y - 0.344136 Cb - 0.714136 Cr; B = Y + 1.772 Cb
 # with chroma centered at 0 (IDCT output before level shift) and +128 level

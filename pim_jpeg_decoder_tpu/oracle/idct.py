@@ -72,7 +72,7 @@ def _idct_1d(x, shift: int):
     )
 
 
-def idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+def idct_blocks(coeffs: np.ndarray, clamp: bool = True) -> np.ndarray:
     """IDCT of dequantized coefficient blocks.
 
     Args:
@@ -81,7 +81,7 @@ def idct_blocks(coeffs: np.ndarray) -> np.ndarray:
 
     Returns:
       ``[..., 8, 8]`` int32 spatial samples centered at 0 (no +128 level
-      shift), in range approximately [-256, 255] for valid streams.
+      shift), clamped to the 8-bit sample range [-128, 127] per T.81 A.3.1.
     """
     x = coeffs.astype(np.int32)
 
@@ -95,7 +95,10 @@ def idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     # final descale removes CONST_BITS + PASS1_BITS and the IDCT's 1/8.
     rows = [y[..., :, v] for v in range(8)]
     rows = _idct_1d(rows, S.CONST_BITS + S.PASS1_BITS + 3)
-    return np.stack(rows, axis=-1)
+    out = np.stack(rows, axis=-1)
+    if clamp:
+        out = np.clip(out, S.SAMPLE_MIN, S.SAMPLE_MAX)
+    return out
 
 
 def dequantize(coeffs: np.ndarray, qt: np.ndarray) -> np.ndarray:

@@ -25,6 +25,15 @@ class TestIdctAccuracy:
         out = idct_blocks(blk)
         assert np.all(out == 100)
 
+    def test_sample_range_clamp(self):
+        """IDCT output clamps to [-128, 127] (T.81 A.3.1 sample range)."""
+        blk = np.zeros((2, 8, 8), np.int32)
+        blk[0, 0, 0] = 8000
+        blk[1, 0, 0] = -8000
+        out = idct_blocks(blk)
+        assert np.all(out[0] == 127)
+        assert np.all(out[1] == -128)
+
     def test_zero_block(self):
         out = idct_blocks(np.zeros((4, 8, 8), np.int32))
         assert np.all(out == 0)
@@ -39,7 +48,7 @@ class TestIdctAccuracy:
                 if u or v:
                     scale = max(1, 256 // (1 + 4 * (u + v)))
                     coeffs[:, u, v] = rng.integers(-scale, scale + 1, 512)
-        got = idct_blocks(coeffs)
+        got = idct_blocks(coeffs, clamp=False)
         want = float_idct_blocks(coeffs)
         assert np.abs(got - want).max() <= 1.0
 
@@ -49,15 +58,15 @@ class TestIdctAccuracy:
             for v in range(8):
                 blk = np.zeros((1, 8, 8), np.int32)
                 blk[0, u, v] = 512
-                got = idct_blocks(blk)
+                got = idct_blocks(blk, clamp=False)
                 want = float_idct_blocks(blk)
                 assert np.abs(got - want).max() <= 1.0, (u, v)
 
     def test_linearity_modulo_rounding(self, rng):
         c1 = rng.integers(-512, 512, (16, 8, 8)).astype(np.int32)
         c2 = rng.integers(-512, 512, (16, 8, 8)).astype(np.int32)
-        lhs = idct_blocks(c1 + c2)
-        rhs = idct_blocks(c1) + idct_blocks(c2)
+        lhs = idct_blocks(c1 + c2, clamp=False)
+        rhs = idct_blocks(c1, clamp=False) + idct_blocks(c2, clamp=False)
         assert np.abs(lhs - rhs).max() <= 2  # rounding drift only
 
     def test_extreme_values_no_crash(self):
