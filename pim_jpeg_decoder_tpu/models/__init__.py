@@ -1,0 +1,1 @@
+"""The flagship decode pipeline (host orchestration around the fused kernel)."""

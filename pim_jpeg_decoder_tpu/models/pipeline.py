@@ -1,0 +1,141 @@
+"""The TPU JPEG decode pipeline — scan, entropy-decode, fused kernel, raster.
+
+The "flagship model" of this framework: a jittable device program (the fused
+Pallas kernel from :mod:`pim_jpeg_decoder_tpu.ops.decode_kernel`) wrapped in
+host stages that mirror the reference's pipeline end to end:
+
+  scan_jpeg (marker parse)      <- reference src/jpeg_scanner.cpp:345
+  entropy decode                <- reference src/jpeg_scanner.cpp:707 (host thread)
+  pack MCU batch + quant pool   <- reference decoder_host.cpp:101-211 (mcu_prepare)
+  device decode (fused kernel)  <- reference decoder_dpu.c (3 DPU phases, fused)
+  raster assembly + BMP         <- reference bmp_writer.cpp:19
+
+Single-image convenience APIs here; multi-image batching, the producer/
+consumer overlap and sharding live in :mod:`pim_jpeg_decoder_tpu.runtime`
+and :mod:`pim_jpeg_decoder_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pim_jpeg_decoder_tpu.codec.header import JpegHeader
+from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+from pim_jpeg_decoder_tpu.io.bmp import write_bmp
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import (
+    LANE_TILE,
+    decode_mcus,
+    pad_mcus,
+)
+
+
+def entropy_decode(header: JpegHeader) -> np.ndarray:
+    """Entropy-decode via the native C++ fast path, NumPy fallback.
+
+    Returns ``[num_mcus, g, 64]`` int16 natural-order coefficients.
+    """
+    from pim_jpeg_decoder_tpu.native import decode_scan_native
+    return decode_scan_native(header)
+
+
+def build_qpool(headers: Sequence[JpegHeader], mode: S.ModeSpec) -> np.ndarray:
+    """Per-image, per-slot quantizer rows: ``[num_images, g, 64]`` float32."""
+    qpool = np.zeros((len(headers), mode.g, 64), dtype=np.float32)
+    for i, header in enumerate(headers):
+        for s, (ci, _, _) in enumerate(header.slot_components()):
+            qpool[i, s] = header.component_qt(header.components[ci])
+    return qpool
+
+
+def assemble_raster_slots(header: JpegHeader, slot_rgb: np.ndarray) -> np.ndarray:
+    """Kernel output ``[num_mcus, luma_slots, 64, 3]`` -> ``[H, W, 3]``.
+
+    Pure layout: MCU raster grid (gh, gw), luma slots (V, H) within each MCU,
+    8x8 pixels within each slot.  Replaces the reference's per-pixel inverse
+    scatter walk (reference: src/bmp_writer.cpp:51-60) with one vectorized
+    reshape/transpose.
+    """
+    mode = S.mode_for(header.mode_key)
+    gh, gw = header.mcu_rows, header.mcu_cols
+    v, h = mode.v, mode.h
+    img = (
+        slot_rgb[: gh * gw]
+        .reshape(gh, gw, v, h, 8, 8, 3)
+        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .reshape(gh * v * 8, gw * h * 8, 3)
+    )
+    return np.ascontiguousarray(img[: header.height, : header.width])
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    rgb: np.ndarray
+    header: JpegHeader
+
+
+class TpuJpegDecoder:
+    """Single-stream decoder: one image (or a same-mode list) per device call.
+
+    For high-throughput multi-image decoding use
+    :class:`pim_jpeg_decoder_tpu.runtime.engine.DecodeEngine`, which packs
+    images into fixed-size device batches and overlaps host entropy decode
+    with device execution.
+    """
+
+    def __init__(self, lane_tile: int = LANE_TILE):
+        self.lane_tile = lane_tile
+
+    def decode(self, data: bytes) -> DecodeResult:
+        header = scan_jpeg(data)
+        coeffs = entropy_decode(header)
+        mode = S.mode_for(header.mode_key)
+
+        m_pad = pad_mcus(header.num_mcus, self.lane_tile)
+        padded = np.zeros((m_pad, mode.g, 64), dtype=np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, dtype=np.int32)
+        qpool = build_qpool([header], mode)
+
+        slot_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                          lane_tile=self.lane_tile))
+        return DecodeResult(assemble_raster_slots(header, slot_rgb), header)
+
+    def decode_batch(self, blobs: Sequence[bytes]) -> List[DecodeResult]:
+        return [self.decode(b) for b in blobs]
+
+
+_DEFAULT: Optional[TpuJpegDecoder] = None
+
+
+def _default_decoder() -> TpuJpegDecoder:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = TpuJpegDecoder()
+    return _DEFAULT
+
+
+def decode_bytes(data: bytes) -> np.ndarray:
+    """Decode one JPEG byte string to an ``[H, W, 3]`` uint8 RGB array."""
+    return _default_decoder().decode(data).rgb
+
+
+def output_path(input_path: str) -> str:
+    """BMP output naming rule of the reference: replace the extension with
+    .bmp, or append .bmp if there is none (reference: src/decoder_host.cpp:330)."""
+    stem, ext = os.path.splitext(input_path)
+    return (stem if ext else input_path) + ".bmp"
+
+
+def decode_file(path: str, out_path: Optional[str] = None) -> str:
+    """Decode a JPEG file and write the BMP next to it; returns the BMP path."""
+    with open(path, "rb") as f:
+        data = f.read()
+    rgb = decode_bytes(data)
+    out = out_path or output_path(path)
+    write_bmp(out, rgb)
+    return out

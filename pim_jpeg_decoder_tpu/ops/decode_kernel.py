@@ -1,0 +1,208 @@
+"""Fused Pallas decode kernel: dequantize -> IDCT -> upsample -> YCbCr->RGB.
+
+This single kernel replaces the reference's entire DPU program — its three
+separate phases each round-tripped every block through MRAM
+(dequantize / idct / convert_colorspace, reference: src/decoder_dpu.c:94-107,
+~3x the necessary memory traffic per SURVEY.md section 3.4).  Here each MCU
+tile is read from HBM once, fully decoded in VMEM, and written once as RGB.
+
+TPU-first layout ("blocks on lanes"):
+  - coefficients arrive as ``[g, 64, M]`` int16 — slot-major so each MCU slot
+    is a contiguous ``[64, T]`` lane tile; all butterfly ops run on full
+    ``[8, T]`` VPU tiles (8 sublanes x T lanes).
+  - the grid walks MCU tiles of T lanes; one kernel variant is compiled per
+    sampling mode (static slot geometry — no dynamic dispatch, unlike the
+    reference's per-block (v,h) switch at reference: src/decoder_dpu.c:332-355).
+  - per-image quantization tables are fused in-kernel: a one-hot
+    ``[Q, T]`` matrix (image id per MCU lane) times the ``[64, Q]`` table
+    pool on the MXU gathers each lane's quant row exactly (fp32 exact for
+    values < 2^24); this replaces the reference's per-DPU metadata quant
+    staging (reference: src/decoder_dpu.c:112-132).
+
+Outputs ``[3, luma_slots*64, M]`` uint8 RGB, slot-major per MCU; raster
+assembly (pure layout) happens on the host or via XLA transpose.
+
+Bit-exactness: arithmetic is the shared spec (ops/specs.py, ops/idct_math.py);
+tests assert equality with the NumPy oracle for every mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.idct_math import idct_1d
+
+# Lanes (MCUs) per grid step.  256 MCUs x 6 slots x 64 coeffs x 2B = 192 KiB
+# of VMEM for the worst-case (4:2:0) input tile — comfortable in ~16 MiB.
+LANE_TILE = 256
+
+# Maximum images whose quant tables can share one device batch.
+MAX_IMAGES_PER_BATCH = 16
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU (CPU tests / virtual multi-chip mesh)."""
+    return jax.default_backend() != "tpu"
+
+
+def _idct_block(x32):
+    """[8, 8, T] int32 coefficients -> [8, 8, T] int32 samples (clamped)."""
+    cols = idct_1d([x32[u] for u in range(8)], S.CONST_BITS - S.PASS1_BITS)
+    y = jnp.stack(cols, axis=0)               # [spatial row, freq v, T]
+    rows = idct_1d([y[:, v] for v in range(8)], S.CONST_BITS + S.PASS1_BITS + 3)
+    spat = jnp.stack(rows, axis=1)            # [spatial row, spatial col, T]
+    return jnp.clip(spat, S.SAMPLE_MIN, S.SAMPLE_MAX)
+
+
+def _upsample(chroma, qv: int, qh: int, v: int, h: int):
+    """Nearest-neighbor chroma upsample for the luma slot at (qv, qh).
+
+    ``chroma`` is [8, 8, T]; selects the (8//v x 8//h) sub-block and
+    replicates it to 8x8 (reference: src/decoder_dpu.c:338-355,370).
+    """
+    if v == 1 and h == 1:
+        return chroma
+    rh, rw = 8 // v, 8 // h
+    sub = chroma[qv * rh:(qv + 1) * rh, qh * rw:(qh + 1) * rw]   # [rh, rw, T]
+    t = sub.shape[-1]
+    sub = jnp.broadcast_to(sub[:, None, :, None, :], (rh, v, rw, h, t))
+    return sub.reshape(8, 8, t)
+
+
+def _color(y, cb, cr):
+    """Fixed-point BT.601 (spec constants); returns (r, g, b) int32."""
+    y128 = y + 128
+    r = y128 + S.descale(S.FIX_CR_R * cr, S.COLOR_BITS)
+    g = y128 + S.descale(S.FIX_CB_G * cb + S.FIX_CR_G * cr, S.COLOR_BITS)
+    b = y128 + S.descale(S.FIX_CB_B * cb, S.COLOR_BITS)
+    return r, g, b
+
+
+def _store_channelwise(out_ref, s: int, t: int, rgb):
+    for ch, plane in enumerate(rgb):
+        out_ref[ch, s * 64:(s + 1) * 64, :] = (
+            jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(64, t))
+
+
+def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
+    """Build the fused kernel body for one sampling mode."""
+
+    def kernel(qidx_ref, coeff_ref, qpool_ref, out_ref):
+        t = lane_tile
+        # One-hot image-id matrix [Q, T] for the quant-row MXU gather.
+        image_ids = qidx_ref[0, :]                                  # [T] int32
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (num_images, t), 0)
+                  == image_ids[None, :]).astype(jnp.float32)
+
+        # Dequantize + IDCT every slot once; keep spatial planes in VMEM.
+        spat = []
+        for s in range(mode.g):
+            q = jax.lax.dot(
+                qpool_ref[s], onehot,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)                                      # [64, T]
+            deq = coeff_ref[s].astype(jnp.int32) * q
+            deq = jnp.clip(deq, -S.DEQUANT_CLAMP - 1, S.DEQUANT_CLAMP)
+            spat.append(_idct_block(deq.reshape(8, 8, t)))
+
+        if mode.ncomp == 1:
+            y128 = jnp.clip(spat[0] + 128, 0, 255).astype(jnp.uint8)
+            flat = y128.reshape(64, t)
+            for ch in range(3):
+                out_ref[ch, 0:64, :] = flat
+            return
+
+        cb, cr = spat[mode.luma_slots], spat[mode.luma_slots + 1]
+        for s in range(mode.luma_slots):
+            qv, qh = mode.luma_slot_pos(s)
+            cb_s = _upsample(cb, qv, qh, mode.v, mode.h)
+            cr_s = _upsample(cr, qv, qh, mode.v, mode.h)
+            _store_channelwise(out_ref, s, t, _color(spat[s], cb_s, cr_s))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "lane_tile", "interpret"))
+def _decode_mcus_jit(
+    coeffs: jax.Array,        # [M, g, 64] int16 raw coefficients
+    qidx: jax.Array,          # [M] int32 image index per MCU
+    qpool: jax.Array,         # [Q, g, 64] float32 per-slot quant rows
+    *,
+    mode: S.ModeSpec,
+    lane_tile: int,
+    interpret: bool,
+) -> jax.Array:
+    m = coeffs.shape[0]
+    q = qpool.shape[0]
+    gy = mode.luma_slots
+    assert m % lane_tile == 0, (m, lane_tile)
+
+    x = jnp.transpose(coeffs, (1, 2, 0))          # [g, 64, M]
+    qp = jnp.transpose(qpool, (1, 2, 0))          # [g, 64, Q]
+    qidx2 = qidx[None, :]                         # [1, M]
+
+    grid = (m // lane_tile,)
+    rgb = pl.pallas_call(
+        _make_kernel(mode, lane_tile, q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, lane_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mode.g, 64, lane_tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mode.g, 64, q), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, gy * 64, lane_tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, gy * 64, m), jnp.uint8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # ~94 multiplies + adds per 8-point pass, 16 passes per block.
+            flops=m * mode.g * 64 * 50,
+            bytes_accessed=m * mode.g * 64 * 2 + m * gy * 64 * 3,
+            transcendentals=0,
+        ),
+    )(qidx2, x, qp)
+
+    # [3, gy*64, M] -> [M, gy, 64, 3] (slot-major per MCU).
+    return jnp.transpose(rgb.reshape(3, gy, 64, m), (3, 1, 2, 0))
+
+
+def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
+                lane_tile: int = LANE_TILE) -> jax.Array:
+    """Decode a batch of MCUs on device.
+
+    Args:
+      coeffs: ``[M, g, 64]`` int16 raw (entropy-decoded) coefficients,
+        natural order; M must be a multiple of ``lane_tile`` (pad with
+        zeros — padded lanes decode to gray and are never assembled).
+      qidx: ``[M]`` int32 image index per MCU (selects quant tables).
+      qpool: ``[Q, g, 64]`` per-slot quantizer rows (uint16/float ok).
+      mode: sampling mode (one kernel variant per mode).
+
+    Returns:
+      ``[M, luma_slots, 64, 3]`` uint8 RGB, luma-slot-major per MCU.
+    """
+    qpool = jnp.asarray(qpool, jnp.float32)
+    return _decode_mcus_jit(
+        jnp.asarray(coeffs, jnp.int16),
+        jnp.asarray(qidx, jnp.int32),
+        qpool,
+        mode=mode,
+        lane_tile=lane_tile,
+        interpret=_interpret(),
+    )
+
+
+def pad_mcus(num_mcus: int, lane_tile: int = LANE_TILE) -> int:
+    """Round an MCU count up to the kernel's lane-tile multiple."""
+    return -(-num_mcus // lane_tile) * lane_tile
