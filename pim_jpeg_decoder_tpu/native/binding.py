@@ -1,0 +1,142 @@
+"""ctypes binding for the C++ entropy decoder (build-on-demand with g++).
+
+The shared library is compiled once per source hash into a cache directory
+and loaded via ctypes (calls release the GIL, so multiple producer threads
+entropy-decode in parallel — the host/device overlap the reference gets from
+its two-thread queue, reference: src/decoder_host.cpp:35-38, scales further
+here).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from pim_jpeg_decoder_tpu.codec.header import JpegError, JpegHeader
+from pim_jpeg_decoder_tpu.codec.huffman import build_decode_table
+
+_SRC = os.path.join(os.path.dirname(__file__), "entropy.cpp")
+
+_ERROR_MESSAGES = {
+    -1: "Invalid Huffman code in entropy-coded data",
+    -2: "Ran out of entropy-coded data",
+    -3: "Invalid DC coefficient size",
+    -4: "Decoded AC coefficient index out of range",
+    -5: "Missing restart segment",
+    -6: "Invalid AC symbol",
+    -7: "Invalid arguments to native decoder",
+}
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("PIM_JPEG_TPU_CACHE",
+                          os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu"))
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    path = os.path.join(_cache_dir(), f"entropy_{tag}.so")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+               "-fPIC", _SRC, "-o", tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, path)
+    return path
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and load the native library; None on failure."""
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _load_failed:
+            return None
+        try:
+            lib = ctypes.CDLL(_build())
+            lib.pjt_decode_scan.restype = ctypes.c_int32
+            lib.pjt_abi_version.restype = ctypes.c_int32
+            if lib.pjt_abi_version() != 1:
+                raise RuntimeError("native ABI mismatch")
+            _lib = lib
+        except Exception:
+            _load_failed = True
+            return None
+        return _lib
+
+
+# Per-header LUT staging: [4, 65536] uint8 arrays per table class.
+def _stage_tables(header: JpegHeader):
+    dc_sym = np.zeros((4, 65536), np.uint8)
+    dc_len = np.zeros((4, 65536), np.uint8)
+    ac_sym = np.zeros((4, 65536), np.uint8)
+    ac_len = np.zeros((4, 65536), np.uint8)
+    for tid, spec in header.dc_tables.items():
+        t = build_decode_table(spec)
+        dc_sym[tid] = t.lut_symbol
+        dc_len[tid] = t.lut_length
+    for tid, spec in header.ac_tables.items():
+        t = build_decode_table(spec)
+        ac_sym[tid] = t.lut_symbol
+        ac_len[tid] = t.lut_length
+    return dc_sym, dc_len, ac_sym, ac_len
+
+
+def decode_scan_cpp(header: JpegHeader) -> np.ndarray:
+    """Entropy-decode via the C++ library; semantics match codec.entropy."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native entropy decoder unavailable")
+    if header.progressive:
+        raise JpegError("Progressive scans are not supported")
+
+    slots = header.slot_components()
+    g = len(slots)
+    num_mcus = header.num_mcus
+    slot_comp = np.array([ci for ci, _, _ in slots], np.int32)
+    comp_dc = np.zeros(3, np.int32)
+    comp_ac = np.zeros(3, np.int32)
+    for ci, c in enumerate(header.components):
+        comp_dc[ci] = c.dc_id
+        comp_ac[ci] = c.ac_id
+
+    dc_sym, dc_len, ac_sym, ac_len = _stage_tables(header)
+    data = np.frombuffer(header.entropy_bytes, np.uint8)
+    seg_offsets = np.asarray(header.segment_offsets, np.int64)
+    out = np.zeros((num_mcus, g, 64), np.int16)
+    err_mcu = ctypes.c_int32(-1)
+
+    def ptr(arr, ctype):
+        return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+    rc = lib.pjt_decode_scan(
+        ptr(data, ctypes.c_uint8), ctypes.c_int64(data.size),
+        ptr(seg_offsets, ctypes.c_int64), ctypes.c_int32(seg_offsets.size),
+        ctypes.c_int32(header.restart_interval), ctypes.c_int32(num_mcus),
+        ctypes.c_int32(g),
+        ptr(slot_comp, ctypes.c_int32),
+        ptr(dc_sym, ctypes.c_uint8), ptr(dc_len, ctypes.c_uint8),
+        ptr(ac_sym, ctypes.c_uint8), ptr(ac_len, ctypes.c_uint8),
+        ptr(comp_dc, ctypes.c_int32), ptr(comp_ac, ctypes.c_int32),
+        ptr(out, ctypes.c_int16), ctypes.byref(err_mcu),
+    )
+    if rc != 0:
+        msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
+        raise JpegError(f"{msg} (MCU {err_mcu.value})")
+    return out

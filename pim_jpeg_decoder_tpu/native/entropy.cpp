@@ -1,0 +1,224 @@
+// Native host entropy decoder (baseline JPEG, interleaved scan).
+//
+// C++ fast path for the host hot loop — the equivalent of the reference's
+// decode_Huffman_data / decode_MCU_component / BitReader
+// (reference: src/jpeg_scanner.cpp:707-756,467-520; src/headers/jpeg.h:81-122),
+// rebuilt with:
+//   * a 64-bit bit buffer and flat 16-bit peek LUTs (one lookup per symbol,
+//     vs the reference's bit-at-a-time linear code search),
+//   * restart intervals counted in MCUs per ITU-T T.81 E.2.4 with recorded
+//     segment byte offsets as re-entry points,
+//   * output written directly into the TPU transport layout
+//     [num_mcus, g, 64] int16, natural (de-zigzagged) order.
+//
+// Semantics are identical to pim_jpeg_decoder_tpu/codec/entropy.py (the
+// NumPy oracle); tests assert byte-identical output on every mode.
+//
+// Built on demand by binding.py:  g++ -O3 -shared -fPIC entropy.cpp
+// Exposed via ctypes (calls release the GIL, so producer threads scale).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// Error codes (binding.py maps these to JpegError messages).
+enum ErrorCode : int32_t {
+  OK = 0,
+  ERR_BAD_CODE = -1,
+  ERR_OUT_OF_DATA = -2,
+  ERR_BAD_DC_SIZE = -3,
+  ERR_AC_RANGE = -4,
+  ERR_MISSING_SEGMENT = -5,
+  ERR_BAD_AC_SYMBOL = -6,
+  ERR_BAD_ARGS = -7,
+};
+
+// Standard zigzag -> natural index map (ITU-T T.81 Figure A.6); must match
+// codec/tables.py:ZIGZAG.
+const int32_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t len;
+  int64_t pos;        // next byte to load into the buffer
+  uint64_t buf;       // MSB-first bit buffer
+  int32_t cnt;        // valid bits in buf
+  int64_t overrun;    // pad bytes consumed past the end
+
+  void seek(int64_t byte_offset) {
+    pos = byte_offset;
+    buf = 0;
+    cnt = 0;
+    overrun = 0;
+  }
+
+  inline void fill() {
+    while (cnt <= 56) {
+      uint8_t b;
+      if (pos < len) {
+        b = data[pos++];
+      } else {
+        b = 0;
+        ++overrun;
+      }
+      buf = (buf << 8) | b;
+      cnt += 8;
+    }
+  }
+
+  inline uint32_t peek16() {
+    fill();
+    return static_cast<uint32_t>((buf >> (cnt - 16)) & 0xFFFFu);
+  }
+
+  inline void drop(int32_t n) { cnt -= n; }
+
+  inline uint32_t read_bits(int32_t n) {
+    if (n == 0) return 0;
+    fill();
+    uint32_t v = static_cast<uint32_t>((buf >> (cnt - n)) & ((1u << n) - 1u));
+    cnt -= n;
+    return v;
+  }
+
+  // True once decode has consumed bits that never existed in the stream.
+  inline bool exhausted() const { return overrun * 8 > cnt; }
+};
+
+// JPEG signed-magnitude EXTEND (ITU-T T.81 F.2.2.1).
+inline int32_t extend_signed(uint32_t value, int32_t size) {
+  if (size == 0) return 0;
+  if (value < (1u << (size - 1))) {
+    return static_cast<int32_t>(value) - (1 << size) + 1;
+  }
+  return static_cast<int32_t>(value);
+}
+
+struct Lut {
+  const uint8_t* sym;
+  const uint8_t* len;
+};
+
+inline int32_t decode_symbol(BitReader& br, const Lut& lut, int32_t* out_sym) {
+  uint32_t peek = br.peek16();
+  int32_t n = lut.len[peek];
+  if (n == 0) return ERR_BAD_CODE;
+  br.drop(n);
+  if (br.exhausted()) return ERR_OUT_OF_DATA;
+  *out_sym = lut.sym[peek];
+  return OK;
+}
+
+inline int32_t decode_block(BitReader& br, int16_t* out, const Lut& dc,
+                            const Lut& ac, int32_t* dc_pred) {
+  int32_t t;
+  int32_t rc = decode_symbol(br, dc, &t);
+  if (rc != OK) return rc;
+  if (t > 11) return ERR_BAD_DC_SIZE;
+  int32_t diff = extend_signed(br.read_bits(t), t);
+  if (br.exhausted()) return ERR_OUT_OF_DATA;
+  *dc_pred += diff;
+  out[0] = static_cast<int16_t>(*dc_pred);
+
+  int32_t k = 1;
+  while (k < 64) {
+    int32_t sym;
+    rc = decode_symbol(br, ac, &sym);
+    if (rc != OK) return rc;
+    if (sym == 0x00) return OK;  // EOB
+    int32_t run = sym >> 4;
+    int32_t size = sym & 0x0F;
+    if (size == 0) {
+      if (sym != 0xF0) return ERR_BAD_AC_SYMBOL;
+      k += 16;  // ZRL
+      continue;
+    }
+    k += run;
+    if (k > 63) return ERR_AC_RANGE;
+    out[kZigzag[k]] =
+        static_cast<int16_t>(extend_signed(br.read_bits(size), size));
+    if (br.exhausted()) return ERR_OUT_OF_DATA;
+    ++k;
+  }
+  return OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one interleaved baseline scan.
+//
+//   data / data_len       de-stuffed entropy bytes (RST markers removed)
+//   seg_offsets/num_segs  byte offsets of restart-segment entry points
+//   restart_interval      MCUs per restart segment (0 = none)
+//   num_mcus              total MCUs to decode
+//   g                     8x8 block slots per MCU
+//   slot_comp[g]          component index of each slot (0..2)
+//   dc_sym/dc_len         [4][65536] uint8 peek-16 LUTs for DC tables
+//   ac_sym/ac_len         [4][65536] uint8 peek-16 LUTs for AC tables
+//   comp_dc_id/comp_ac_id [3] table selector per component
+//   out                   [num_mcus * g * 64] int16, caller-zeroed
+//
+// Returns OK or a negative ErrorCode; *err_mcu reports the failing MCU.
+int32_t pjt_decode_scan(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* seg_offsets, int32_t num_segs,
+    int32_t restart_interval, int32_t num_mcus, int32_t g,
+    const int32_t* slot_comp,
+    const uint8_t* dc_sym, const uint8_t* dc_len,
+    const uint8_t* ac_sym, const uint8_t* ac_len,
+    const int32_t* comp_dc_id, const int32_t* comp_ac_id,
+    int16_t* out, int32_t* err_mcu) {
+  if (g <= 0 || g > 10 || num_mcus < 0 || num_segs < 1) return ERR_BAD_ARGS;
+
+  Lut slot_dc[10];
+  Lut slot_ac[10];
+  int32_t slot_ci[10];
+  for (int s = 0; s < g; ++s) {
+    int32_t ci = slot_comp[s];
+    if (ci < 0 || ci > 2) return ERR_BAD_ARGS;
+    slot_ci[s] = ci;
+    slot_dc[s] = {dc_sym + comp_dc_id[ci] * 65536,
+                  dc_len + comp_dc_id[ci] * 65536};
+    slot_ac[s] = {ac_sym + comp_ac_id[ci] * 65536,
+                  ac_len + comp_ac_id[ci] * 65536};
+  }
+
+  BitReader br{data, data_len, 0, 0, 0, 0};
+  br.seek(seg_offsets[0]);
+  int32_t dc_pred[3] = {0, 0, 0};
+  int32_t seg = 0;
+
+  for (int32_t m = 0; m < num_mcus; ++m) {
+    if (restart_interval && m && m % restart_interval == 0) {
+      ++seg;
+      if (seg >= num_segs) {
+        *err_mcu = m;
+        return ERR_MISSING_SEGMENT;
+      }
+      br.seek(seg_offsets[seg]);
+      dc_pred[0] = dc_pred[1] = dc_pred[2] = 0;
+    }
+    int16_t* mcu_out = out + static_cast<int64_t>(m) * g * 64;
+    for (int s = 0; s < g; ++s) {
+      int32_t rc = decode_block(br, mcu_out + s * 64, slot_dc[s], slot_ac[s],
+                                &dc_pred[slot_ci[s]]);
+      if (rc != OK) {
+        *err_mcu = m;
+        return rc;
+      }
+    }
+  }
+  return OK;
+}
+
+// ABI version tag so binding.py can invalidate stale cached builds.
+int32_t pjt_abi_version() { return 1; }
+
+}  // extern "C"
