@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pim_jpeg_decoder_tpu.ops import specs as S
 from pim_jpeg_decoder_tpu.ops.idct_math import idct_1d
+from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
 # Lanes (MCUs) per grid step.  256 MCUs x 6 slots x 64 coeffs x 2B = 192 KiB
 # of VMEM for the worst-case (4:2:0) input tile — comfortable in ~16 MiB.
@@ -129,9 +130,7 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mode", "lane_tile", "interpret"))
-def _decode_mcus_jit(
+def decode_mcus_impl(
     coeffs: jax.Array,        # [M, g, 64] int16 raw coefficients
     qidx: jax.Array,          # [M] int32 image index per MCU
     qpool: jax.Array,         # [Q, g, 64] float32 per-slot quant rows
@@ -140,6 +139,7 @@ def _decode_mcus_jit(
     lane_tile: int,
     interpret: bool,
 ) -> jax.Array:
+    """Traceable (un-jitted) device decode — usable inside shard_map/jit."""
     m = coeffs.shape[0]
     q = qpool.shape[0]
     gy = mode.luma_slots
@@ -177,6 +177,10 @@ def _decode_mcus_jit(
     return jnp.transpose(rgb.reshape(3, gy, 64, m), (3, 1, 2, 0))
 
 
+_decode_mcus_jit = jax.jit(
+    decode_mcus_impl, static_argnames=("mode", "lane_tile", "interpret"))
+
+
 def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
                 lane_tile: int = LANE_TILE) -> jax.Array:
     """Decode a batch of MCUs on device.
@@ -192,6 +196,7 @@ def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
     Returns:
       ``[M, luma_slots, 64, 3]`` uint8 RGB, luma-slot-major per MCU.
     """
+    ensure_compilation_cache()
     qpool = jnp.asarray(qpool, jnp.float32)
     return _decode_mcus_jit(
         jnp.asarray(coeffs, jnp.int16),

@@ -1,0 +1,33 @@
+"""Device mesh construction.
+
+The decode workload has one natural device axis: MCU tiles (inter-chip data
+parallelism — the TPU equivalent of the reference's inter-DPU MCU sharding,
+``MAX_MCU_PER_DPU`` chunks over consecutive DPUs,
+reference: src/decoder_host.cpp:125-128).  A 1-D mesh over all local chips
+is therefore the default; ``DPU_ALLOCATE_ALL``'s equivalent is simply
+``jax.devices()`` (reference: src/decoder_host.cpp:32).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh
+
+# The sharded axis name: MCU tiles across chips.
+MCU_AXIS = "mcu"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a 1-D mesh over ``num_devices`` chips (default: all local)."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (MCU_AXIS,))

@@ -1,0 +1,60 @@
+"""Multi-host corpus decode: whole-image sharding across processes.
+
+The decode workload is embarrassingly parallel at image granularity, so the
+multi-host design (SURVEY.md section 5, "distributed communication backend")
+shards whole images per host: each process scans/entropy-decodes/launches
+its own file shard against its local chips and writes its own BMPs — only
+job metadata crosses DCN.  This is how >=90% frames/s scaling efficiency is
+achieved (BASELINE.md north star): there is no cross-host data dependency
+at all.
+
+``jax.distributed.initialize`` replaces the reference's process-global
+``DpuSet::allocate(DPU_ALLOCATE_ALL)`` (reference: src/decoder_host.cpp:32).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialize multi-process JAX (no-op when single-process).
+
+    Arguments default to the standard JAX env vars / auto-detection on TPU
+    pods; call this once at startup on every host.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    if coordinator_address is None and num_processes is None and (
+            "JAX_COORDINATOR_ADDRESS" not in os.environ):
+        # Single-host run: nothing to initialize.
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def partition_paths(paths: Sequence[str],
+                    process_index: Optional[int] = None,
+                    process_count: Optional[int] = None) -> List[str]:
+    """This host's shard of the corpus (strided, size-balanced after sort).
+
+    Strided assignment over the size-sorted list keeps per-host megapixel
+    totals balanced, which is what the scaling-efficiency metric measures.
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return list(paths[process_index::process_count])
+
+
+def local_chip_count() -> int:
+    return jax.local_device_count()

@@ -1,0 +1,78 @@
+"""Sharded device decode: MCU tiles across chips via shard_map.
+
+Replaces the reference's per-DPU scatter/exec/gather
+(``pim.copy("mcus", ...)``, ``pim.exec()``, reference:
+src/decoder_host.cpp:276-312) with JAX sharding: coefficients are placed
+with a NamedSharding over the MCU axis, each chip runs the fused Pallas
+kernel on its shard under ``shard_map``, and the RGB output stays sharded
+over the same axis (host gathers once at D2H).  No cross-chip collectives
+are needed on the decode path — MCUs are independent — so scaling is
+bandwidth-bound, not ICI-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import (
+    LANE_TILE,
+    decode_mcus_impl,
+    _interpret,
+)
+from pim_jpeg_decoder_tpu.parallel.mesh import MCU_AXIS, make_mesh
+from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(mesh: Mesh, mode: S.ModeSpec, lane_tile: int, interpret: bool):
+    impl = functools.partial(decode_mcus_impl, mode=mode,
+                             lane_tile=lane_tile, interpret=interpret)
+    shmapped = jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(P(MCU_AXIS), P(MCU_AXIS), P()),
+        out_specs=P(MCU_AXIS),
+        # pallas_call's out_shape carries no varying-mesh-axis metadata;
+        # the decode is purely elementwise over the MCU axis (no
+        # collectives), so the replication check is vacuous here.
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
+def decode_mcus_sharded(
+    coeffs,                   # [M, g, 64] int16; M % (n_devices*lane_tile) == 0
+    qidx,                     # [M] int32
+    qpool,                    # [Q, g, 64] quant rows (replicated)
+    mode: S.ModeSpec,
+    mesh: Optional[Mesh] = None,
+    lane_tile: int = LANE_TILE,
+) -> jax.Array:
+    """Decode MCU tiles sharded across the mesh's chips.
+
+    Returns ``[M, luma_slots, 64, 3]`` uint8, sharded over the MCU axis.
+    """
+    ensure_compilation_cache()
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    m = coeffs.shape[0]
+    if m % (n * lane_tile):
+        raise ValueError(
+            f"M={m} must be a multiple of devices*lane_tile={n * lane_tile}")
+
+    coeffs = jax.device_put(
+        jnp.asarray(coeffs, jnp.int16), NamedSharding(mesh, P(MCU_AXIS)))
+    qidx = jax.device_put(
+        jnp.asarray(qidx, jnp.int32), NamedSharding(mesh, P(MCU_AXIS)))
+    qpool = jax.device_put(
+        jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
+
+    fn = _sharded_fn(mesh, mode, lane_tile, _interpret())
+    return fn(coeffs, qidx, qpool)

@@ -1,0 +1,126 @@
+"""MCU batch packing: many images -> fixed-shape device batches.
+
+Equivalent of the reference's MCU preparer / batch scheduler
+(reference: src/decoder_host.cpp:101-211 ``mcu_prepare``): images are packed
+greedily into a fixed MCU budget and flushed when the next image doesn't fit
+(reference: :130-144).  Differences by design:
+
+- the device batch is a dense ``[budget, g, 64]`` int16 array (the TPU
+  transport layout) instead of per-DPU 768-short scatter buffers;
+- per-image quant tables ride in a small pool indexed per MCU (fused in the
+  kernel) instead of 276-word per-DPU metadata (reference: :156-179);
+- images are packed per sampling mode (one fused-kernel variant per mode);
+- images larger than the budget are not rejected ("Too high resolution",
+  reference: :146-149) — the engine routes them through a dedicated
+  single-image launch instead.
+
+File-size sorting (reference: :40-61 ``sort_by_size``) keeps similar-sized
+images together so batches fill evenly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pim_jpeg_decoder_tpu.codec.header import JpegHeader
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import MAX_IMAGES_PER_BATCH
+
+
+def sort_by_size(paths: Sequence[str]) -> List[str]:
+    """Sort input paths ascending by file size (reference: decoder_host.cpp:40-61)."""
+    return sorted(paths, key=lambda p: (os.stat(p).st_size, p))
+
+
+@dataclasses.dataclass
+class PreparedImage:
+    """One entropy-decoded image awaiting device decode."""
+    name: str
+    header: JpegHeader
+    coeffs: np.ndarray          # [num_mcus, g, 64] int16
+
+
+@dataclasses.dataclass
+class Batch:
+    """One fixed-shape device launch (the reference's ``Batch``,
+    reference: src/decoder_host.cpp:25-30)."""
+    mode: S.ModeSpec
+    coeffs: np.ndarray          # [budget, g, 64] int16
+    qidx: np.ndarray            # [budget] int32
+    qpool: np.ndarray           # [Q, g, 64] float32
+    images: List[Tuple[PreparedImage, int]]   # (image, mcu_offset)
+
+
+class BatchPacker:
+    """Greedy first-fit packer for one sampling mode."""
+
+    def __init__(self, mode: S.ModeSpec, budget_mcus: int,
+                 max_images: int = MAX_IMAGES_PER_BATCH):
+        self.mode = mode
+        self.budget = budget_mcus
+        self.max_images = max_images
+        self._images: List[Tuple[PreparedImage, int]] = []
+        self._used = 0
+
+    def fits(self, image: PreparedImage) -> bool:
+        return (self._used + image.header.num_mcus <= self.budget
+                and len(self._images) < self.max_images)
+
+    def add(self, image: PreparedImage) -> Optional[Batch]:
+        """Add an image; returns a flushed Batch when it didn't fit."""
+        flushed = None
+        if not self.fits(image):
+            flushed = self.flush()
+        self._images.append((image, self._used))
+        self._used += image.header.num_mcus
+        return flushed
+
+    def flush(self) -> Optional[Batch]:
+        if not self._images:
+            return None
+        mode = self.mode
+        coeffs = np.zeros((self.budget, mode.g, 64), np.int16)
+        qidx = np.zeros(self.budget, np.int32)
+        qpool = np.zeros((self.max_images, mode.g, 64), np.float32)
+        for i, (img, off) in enumerate(self._images):
+            n = img.header.num_mcus
+            coeffs[off:off + n] = img.coeffs
+            qidx[off:off + n] = i
+            for s, (ci, _, _) in enumerate(img.header.slot_components()):
+                qpool[i, s] = img.header.component_qt(img.header.components[ci])
+        batch = Batch(mode, coeffs, qidx, qpool, self._images)
+        self._images = []
+        self._used = 0
+        return batch
+
+
+class ModeRouter:
+    """Routes prepared images to per-mode packers; yields flushed batches."""
+
+    def __init__(self, budget_mcus: int,
+                 max_images: int = MAX_IMAGES_PER_BATCH):
+        self.budget = budget_mcus
+        self.max_images = max_images
+        self._packers: Dict[Tuple[int, int, int], BatchPacker] = {}
+
+    def add(self, image: PreparedImage) -> List[Batch]:
+        mode = S.mode_for(image.header.mode_key)
+        key = image.header.mode_key
+        packer = self._packers.get(key)
+        if packer is None:
+            packer = self._packers[key] = BatchPacker(
+                mode, self.budget, self.max_images)
+        flushed = packer.add(image)
+        return [flushed] if flushed else []
+
+    def flush_all(self) -> List[Batch]:
+        out = []
+        for packer in self._packers.values():
+            b = packer.flush()
+            if b is not None:
+                out.append(b)
+        return out

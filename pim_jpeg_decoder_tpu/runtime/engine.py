@@ -1,0 +1,193 @@
+"""The decode engine: producer/consumer pipeline around the fused kernel.
+
+Runtime equivalent of the reference's two host threads
+(``mcu_prepare`` producer + ``offloading`` consumer joined by a mutex/cv
+queue, reference: src/decoder_host.cpp:35-38,101-350,364-365):
+
+  prepare pool (N threads)   read + marker scan + C++ entropy decode
+        |                    (GIL released in native code -> true parallelism,
+        v                     vs the reference's single preparer thread)
+  ModeRouter / BatchPacker   greedy fixed-budget packing per sampling mode
+        |
+        v  bounded queue (backpressure = the reference's cv-guarded queue)
+  consumer thread            H2D -> fused Pallas kernel -> D2H -> raster
+                             assembly -> BMP write
+
+Per-file failures are recorded and skipped, matching the reference's
+validate-and-skip behavior (reference: src/decoder_host.cpp:120-123).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+from pim_jpeg_decoder_tpu.io.bmp import write_bmp
+from pim_jpeg_decoder_tpu.models.pipeline import (
+    assemble_raster_slots,
+    entropy_decode,
+    output_path,
+)
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import LANE_TILE, decode_mcus
+from pim_jpeg_decoder_tpu.runtime.batching import (
+    Batch,
+    ModeRouter,
+    PreparedImage,
+    sort_by_size,
+)
+from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
+
+
+@dataclasses.dataclass
+class FileResult:
+    name: str
+    ok: bool
+    out_path: Optional[str] = None
+    rgb: Optional[np.ndarray] = None
+    error: Optional[str] = None
+    megapixels: float = 0.0
+
+
+@dataclasses.dataclass
+class EngineReport:
+    results: List[FileResult]
+    timers: StageTimers
+
+    @property
+    def ok_count(self) -> int:
+        return sum(r.ok for r in self.results)
+
+    @property
+    def total_megapixels(self) -> float:
+        return sum(r.megapixels for r in self.results if r.ok)
+
+    def print_profile(self) -> None:
+        print(self.timers.report(extra={
+            "Decoded files": f"{self.ok_count}/{len(self.results)}",
+            "Total megapixels": f"{self.total_megapixels:.2f}",
+        }))
+
+
+class DecodeEngine:
+    """High-throughput multi-image decoder.
+
+    Args:
+      budget_mcus: MCUs per device batch (static shape; one compiled program
+        per (mode, budget)).  Must be a multiple of ``lane_tile``.
+      lane_tile: kernel grid tile (lanes per step).
+      prepare_threads: host entropy-decode parallelism.
+      keep_rgb: retain decoded arrays in results (for benchmarking/tests).
+    """
+
+    def __init__(self, budget_mcus: int = 16384, lane_tile: int = LANE_TILE,
+                 prepare_threads: int = 4, keep_rgb: bool = False):
+        if budget_mcus % lane_tile:
+            raise ValueError(f"budget_mcus {budget_mcus} must be a multiple "
+                             f"of lane_tile {lane_tile}")
+        self.budget_mcus = budget_mcus
+        self.lane_tile = lane_tile
+        self.prepare_threads = prepare_threads
+        self.keep_rgb = keep_rgb
+
+    # -- pipeline stages ------------------------------------------------------
+
+    def _prepare(self, name: str, data: bytes, timers: StageTimers) -> PreparedImage:
+        with timers.stage("prepare"):
+            header = scan_jpeg(data)
+            coeffs = entropy_decode(header)
+            return PreparedImage(name, header, coeffs)
+
+    def _execute_batch(self, batch: Batch, timers: StageTimers,
+                       write: bool, results: Dict[str, FileResult]) -> None:
+        with timers.stage("kernel"):
+            slot_rgb_dev = decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
+                                       batch.mode, lane_tile=self.lane_tile)
+            slot_rgb_dev.block_until_ready()
+        with timers.stage("d2h"):
+            slot_rgb = np.asarray(slot_rgb_dev)
+        with timers.stage("write"):
+            for img, off in batch.images:
+                n = img.header.num_mcus
+                rgb = assemble_raster_slots(img.header, slot_rgb[off:off + n])
+                res = FileResult(
+                    img.name, True,
+                    megapixels=img.header.width * img.header.height / 1e6)
+                if write:
+                    res.out_path = output_path(img.name)
+                    write_bmp(res.out_path, rgb)
+                if self.keep_rgb:
+                    res.rgb = rgb
+                results[img.name] = res
+
+    # -- public API -----------------------------------------------------------
+
+    def decode_named_blobs(self, items: Sequence[Tuple[str, bytes]],
+                           write: bool = False) -> EngineReport:
+        """Decode (name, bytes) pairs through the full pipeline."""
+        timers = StageTimers()
+        results: Dict[str, FileResult] = {}
+        batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
+        router = ModeRouter(self.budget_mcus)
+
+        def consumer() -> None:
+            while True:
+                with timers.stage("queue"):
+                    batch = batch_q.get()
+                if batch is None:
+                    return
+                try:
+                    self._execute_batch(batch, timers, write, results)
+                except Exception as e:  # record, don't kill the pipeline
+                    for img, _ in batch.images:
+                        results[img.name] = FileResult(
+                            img.name, False, error=f"device decode failed: {e}")
+
+        consumer_thread = threading.Thread(target=consumer, daemon=True)
+        consumer_thread.start()
+
+        with ThreadPoolExecutor(self.prepare_threads) as pool:
+            futures = [(name, pool.submit(self._prepare, name, data, timers))
+                       for name, data in items]
+            for name, fut in futures:
+                try:
+                    prepared = fut.result()
+                except Exception as e:
+                    results[name] = FileResult(name, False, error=str(e))
+                    continue
+                # Oversized image: dedicated launch sized to the image.
+                if prepared.header.num_mcus > self.budget_mcus:
+                    big = ModeRouter(
+                        -(-prepared.header.num_mcus // self.lane_tile)
+                        * self.lane_tile, max_images=1)
+                    big.add(prepared)
+                    for b in big.flush_all():
+                        batch_q.put(b)
+                    continue
+                for b in router.add(prepared):
+                    batch_q.put(b)
+        for b in router.flush_all():
+            batch_q.put(b)
+        batch_q.put(None)
+        consumer_thread.join()
+
+        ordered = [results.get(name, FileResult(name, False, error="missing"))
+                   for name, _ in items]
+        return EngineReport(ordered, timers)
+
+    def decode_paths(self, paths: Sequence[str], write: bool = True,
+                     sort: bool = True) -> EngineReport:
+        """Decode files, writing a BMP next to each input by default."""
+        if sort:
+            paths = sort_by_size(paths)
+        items = []
+        for p in paths:
+            with open(p, "rb") as f:
+                items.append((p, f.read()))
+        return self.decode_named_blobs(items, write=write)

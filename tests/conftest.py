@@ -8,12 +8,19 @@ mode on CPU (see pim_jpeg_decoder_tpu.ops.decode_kernel).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends.  The ambient axon plugin
+# (the real TPU tunnel) overrides JAX_PLATFORMS, so force the platform via
+# jax.config too; tests run on the virtual 8-device CPU mesh — bench.py
+# exercises the hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,164 @@
+"""Runtime tests: batch packing, producer/consumer engine, CLI, profiler."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
+from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+from pim_jpeg_decoder_tpu.io.bmp import read_bmp
+from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.runtime.batching import (
+    BatchPacker,
+    ModeRouter,
+    PreparedImage,
+    sort_by_size,
+)
+from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
+
+LANE_TILE = 128
+
+
+def prepared(img, name="img", **kw):
+    data = encode_jpeg(img, **kw)
+    header = scan_jpeg(data)
+    return PreparedImage(name, header, decode_scan(header))
+
+
+class TestBatchPacker:
+    def test_greedy_fill_and_flush(self, photo_image):
+        mode = S.mode_for((2, 2, 3))
+        packer = BatchPacker(mode, budget_mcus=128)
+        img = prepared(photo_image, sampling="4:2:0")   # 80 MCUs
+        assert packer.add(img) is None                   # fits
+        flushed = packer.add(img)                        # 160 > 128 -> flush
+        assert flushed is not None
+        assert len(flushed.images) == 1
+        assert flushed.coeffs.shape == (128, 6, 64)
+        final = packer.flush()
+        assert final is not None and len(final.images) == 1
+
+    def test_qidx_and_qpool(self, photo_image, noise_image):
+        mode = S.mode_for((2, 2, 3))
+        packer = BatchPacker(mode, budget_mcus=256)
+        a = prepared(photo_image, name="a", sampling="4:2:0", quality=90)
+        b = prepared(noise_image, name="b", sampling="4:2:0", quality=30)
+        packer.add(a)
+        packer.add(b)
+        batch = packer.flush()
+        na = a.header.num_mcus
+        assert np.all(batch.qidx[:na] == 0)
+        assert np.all(batch.qidx[na:na + b.header.num_mcus] == 1)
+        # Different qualities -> different quant pools.
+        assert not np.array_equal(batch.qpool[0], batch.qpool[1])
+        np.testing.assert_array_equal(batch.coeffs[:na], a.coeffs)
+
+    def test_mode_router_separates_modes(self, photo_image):
+        router = ModeRouter(budget_mcus=4096)
+        router.add(prepared(photo_image, sampling="4:2:0"))
+        router.add(prepared(photo_image, sampling="4:4:4"))
+        batches = router.flush_all()
+        assert len(batches) == 2
+        assert {b.mode.name for b in batches} == {"4:2:0", "4:4:4"}
+
+    def test_sort_by_size(self, tmp_path, photo_image):
+        big = tmp_path / "big.jpg"
+        small = tmp_path / "small.jpg"
+        big.write_bytes(encode_jpeg(photo_image, quality=95))
+        small.write_bytes(encode_jpeg(photo_image, quality=10))
+        assert sort_by_size([str(big), str(small)]) == [str(small), str(big)]
+
+
+class TestDecodeEngine:
+    def test_mixed_corpus_matches_oracle(self, photo_image, noise_image, rng):
+        blobs = [
+            ("a", encode_jpeg(photo_image, quality=90, sampling="4:2:0")),
+            ("b", encode_jpeg(noise_image, quality=50, sampling="4:4:4")),
+            ("c", encode_jpeg(photo_image, quality=75, sampling="4:2:2")),
+            ("d", encode_jpeg(photo_image[:64, :56], quality=85,
+                              sampling="4:2:0", restart_interval=3)),
+            ("e", encode_jpeg(photo_image, quality=85, grayscale=True)),
+        ]
+        engine = DecodeEngine(budget_mcus=512, lane_tile=LANE_TILE,
+                              prepare_threads=2, keep_rgb=True)
+        report = engine.decode_named_blobs(blobs)
+        assert report.ok_count == 5
+        for (name, data), res in zip(blobs, report.results):
+            assert res.ok, res.error
+            want = decode_bytes_oracle(data).rgb
+            np.testing.assert_array_equal(res.rgb, want, err_msg=name)
+
+    def test_bad_file_skipped(self, photo_image):
+        blobs = [
+            ("good", encode_jpeg(photo_image, quality=85, sampling="4:2:0")),
+            ("bad", b"not a jpeg at all"),
+        ]
+        engine = DecodeEngine(budget_mcus=256, lane_tile=LANE_TILE,
+                              keep_rgb=True)
+        report = engine.decode_named_blobs(blobs)
+        assert report.results[0].ok
+        assert not report.results[1].ok
+        assert "SOI" in report.results[1].error
+
+    def test_oversized_image_chunked_launch(self, rng):
+        """Images bigger than the batch budget get a dedicated launch."""
+        img = rng.integers(0, 256, (160, 200, 3), dtype=np.uint8)
+        data = encode_jpeg(img, quality=80, sampling="4:2:0")  # 130 MCUs
+        engine = DecodeEngine(budget_mcus=128, lane_tile=LANE_TILE,
+                              keep_rgb=True)
+        report = engine.decode_named_blobs([("big", data)])
+        assert report.results[0].ok, report.results[0].error
+        np.testing.assert_array_equal(
+            report.results[0].rgb, decode_bytes_oracle(data).rgb)
+
+    def test_write_bmp_files(self, tmp_path, photo_image):
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        path = tmp_path / "img.jpg"
+        path.write_bytes(data)
+        engine = DecodeEngine(budget_mcus=256, lane_tile=LANE_TILE)
+        report = engine.decode_paths([str(path)])
+        out = report.results[0].out_path
+        assert out == str(tmp_path / "img.bmp")
+        rgb = read_bmp(open(out, "rb").read())
+        np.testing.assert_array_equal(rgb, decode_bytes_oracle(data).rgb)
+
+
+class TestCli:
+    def test_cli_end_to_end(self, tmp_path, photo_image, capsys):
+        from pim_jpeg_decoder_tpu.cli import main
+        p = tmp_path / "x.jpeg"
+        p.write_bytes(encode_jpeg(photo_image, quality=85, sampling="4:2:0"))
+        rc = main([str(p), "--batch-mcus", "256", "--lane-tile", "128"])
+        assert rc == 0
+        captured = capsys.readouterr()
+        assert "Profiles:" in captured.out
+        assert (tmp_path / "x.bmp").exists()
+
+    def test_cli_reports_failures(self, tmp_path, capsys):
+        from pim_jpeg_decoder_tpu.cli import main
+        p = tmp_path / "bad.jpg"
+        p.write_bytes(b"garbage")
+        rc = main([str(p), "--batch-mcus", "256", "--lane-tile", "128"])
+        assert rc == 1
+        assert "SOI" in capsys.readouterr().err
+
+
+class TestProfiler:
+    def test_stage_accumulation(self):
+        t = StageTimers()
+        with t.stage("kernel"):
+            pass
+        with t.stage("kernel"):
+            pass
+        t.add("h2d", 0.5)
+        snap = t.snapshot()
+        assert snap["kernel"][1] == 2
+        assert snap["h2d"] == (0.5, 1)
+        report = t.report(extra={"Decoded files": "2/2"})
+        assert "Profiles:" in report
+        assert "TPU kernel execution time" in report
+        assert "Decoded files: 2/2" in report
