@@ -86,14 +86,21 @@ class DecodeEngine:
       keep_rgb: retain decoded arrays in results (for benchmarking/tests).
     """
 
-    def __init__(self, budget_mcus: int = 16384, lane_tile: int = LANE_TILE,
-                 prepare_threads: int = 4, keep_rgb: bool = False):
-        if budget_mcus % lane_tile:
-            raise ValueError(f"budget_mcus {budget_mcus} must be a multiple "
-                             f"of lane_tile {lane_tile}")
-        self.budget_mcus = budget_mcus
-        self.lane_tile = lane_tile
-        self.prepare_threads = prepare_threads
+    def __init__(self, budget_mcus: Optional[int] = None,
+                 lane_tile: Optional[int] = None,
+                 prepare_threads: Optional[int] = None,
+                 keep_rgb: bool = False,
+                 config: Optional["EngineConfig"] = None):
+        from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+        cfg = config or EngineConfig.from_env(
+            budget_mcus=budget_mcus, lane_tile=lane_tile,
+            prepare_threads=prepare_threads)
+        cfg.validate()
+        self.config = cfg
+        self.budget_mcus = cfg.budget_mcus
+        self.lane_tile = cfg.lane_tile
+        self.prepare_threads = cfg.prepare_threads
+        self.max_images = cfg.max_images_per_batch
         self.keep_rgb = keep_rgb
 
     # -- pipeline stages ------------------------------------------------------
@@ -134,7 +141,7 @@ class DecodeEngine:
         timers = StageTimers()
         results: Dict[str, FileResult] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
-        router = ModeRouter(self.budget_mcus)
+        router = ModeRouter(self.budget_mcus, max_images=self.max_images)
 
         def consumer() -> None:
             while True:

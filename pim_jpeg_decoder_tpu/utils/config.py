@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+The reference's only configuration is two compile-time Makefile knobs
+(``NUM_TASKLETS`` / ``MAX_MCU_PER_DPU``, reference: Makefile:1-2) flowing as
+-D defines into host and device code, plus ``metadata[19]`` re-shipping
+MAX_MCU_PER_DPU at runtime (reference: src/decoder_host.cpp:172).  This is
+the runtime equivalent: one dataclass, overridable from the environment and
+the CLI, consumed by the engine / kernels / mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # Device batch: MCUs per launch (static shape; the reference's
+    # MAX_MCU_PER_DPU x nr_dpus analogue).
+    budget_mcus: int = 16384
+    # Kernel grid tile: MCU lanes per Pallas grid step (the reference's
+    # NUM_TASKLETS analogue — intra-chip parallel granularity).
+    lane_tile: int = 256
+    # Host entropy-decode threads (the reference has exactly one preparer
+    # thread; the C++ path releases the GIL so more scale).
+    prepare_threads: int = 4
+    # Max images sharing one batch's quant-table pool.
+    max_images_per_batch: int = 16
+    # Mesh: number of chips to shard MCU tiles across (None = all local).
+    num_devices: Optional[int] = None
+
+    @classmethod
+    def from_env(cls, **overrides) -> "EngineConfig":
+        cfg = cls()
+        mapping = {
+            "PIM_JPEG_TPU_BUDGET_MCUS": ("budget_mcus", int),
+            "PIM_JPEG_TPU_LANE_TILE": ("lane_tile", int),
+            "PIM_JPEG_TPU_PREPARE_THREADS": ("prepare_threads", int),
+            "PIM_JPEG_TPU_MAX_IMAGES": ("max_images_per_batch", int),
+            "PIM_JPEG_TPU_NUM_DEVICES": ("num_devices", int),
+        }
+        for env, (field, conv) in mapping.items():
+            if env in os.environ:
+                setattr(cfg, field, conv(os.environ[env]))
+        for k, v in overrides.items():
+            if v is not None:
+                setattr(cfg, k, v)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        if self.lane_tile <= 0 or self.lane_tile % 8:
+            raise ValueError(f"lane_tile must be a positive multiple of 8, "
+                             f"got {self.lane_tile}")
+        if self.budget_mcus % self.lane_tile:
+            raise ValueError(
+                f"budget_mcus ({self.budget_mcus}) must be a multiple of "
+                f"lane_tile ({self.lane_tile})")
+        if self.prepare_threads < 1:
+            raise ValueError("prepare_threads must be >= 1")
+        if self.max_images_per_batch < 1:
+            raise ValueError("max_images_per_batch must be >= 1")
