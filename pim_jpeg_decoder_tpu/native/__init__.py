@@ -28,9 +28,13 @@ def native_available() -> bool:
         return False
 
 
-def decode_scan_native(header: JpegHeader) -> np.ndarray:
-    """Entropy-decode a scan via C++ if available, else the Python path."""
+def decode_scan_native(header: JpegHeader, threads: int = 1) -> np.ndarray:
+    """Entropy-decode a scan via C++ if available, else the Python path.
+
+    ``threads > 1`` enables restart-segment-parallel decode for DRI images
+    (independent bitstream entry points; SURVEY.md section 2 item 4).
+    """
     if native_available():
         from pim_jpeg_decoder_tpu.native import binding
-        return binding.decode_scan_cpp(header)
+        return binding.decode_scan_cpp(header, threads=threads)
     return decode_scan(header)

@@ -71,8 +71,9 @@ def load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_build())
             lib.pjt_decode_scan.restype = ctypes.c_int32
+            lib.pjt_decode_segments.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 1:
+            if lib.pjt_abi_version() != 2:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -98,8 +99,35 @@ def _stage_tables(header: JpegHeader):
     return dc_sym, dc_len, ac_sym, ac_len
 
 
-def decode_scan_cpp(header: JpegHeader) -> np.ndarray:
-    """Entropy-decode via the C++ library; semantics match codec.entropy."""
+# Fan segment ranges across threads only when there is enough work per
+# thread to amortize dispatch (~MCUs per thread).
+_MIN_MCUS_PER_THREAD = 2048
+
+_pool = None
+
+
+def _segment_pool():
+    """Shared executor for segment-range decode (persistent: pool startup
+    would otherwise dwarf the few-ms decode of a typical image)."""
+    global _pool
+    if _pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+        with _lock:
+            if _pool is None:
+                _pool = ThreadPoolExecutor(
+                    max_workers=os.cpu_count() or 8,
+                    thread_name_prefix="pjt-seg")
+    return _pool
+
+
+def decode_scan_cpp(header: JpegHeader, threads: int = 1) -> np.ndarray:
+    """Entropy-decode via the C++ library; semantics match codec.entropy.
+
+    With ``threads > 1`` and a restart interval present, disjoint restart-
+    segment ranges decode concurrently (intra-image parallelism — the
+    segment entry points the reference strips without exploiting,
+    reference: src/jpeg_scanner.cpp:423).
+    """
     lib = load()
     if lib is None:
         raise RuntimeError("native entropy decoder unavailable")
@@ -120,23 +148,57 @@ def decode_scan_cpp(header: JpegHeader) -> np.ndarray:
     data = np.frombuffer(header.entropy_bytes, np.uint8)
     seg_offsets = np.asarray(header.segment_offsets, np.int64)
     out = np.zeros((num_mcus, g, 64), np.int16)
-    err_mcu = ctypes.c_int32(-1)
 
     def ptr(arr, ctype):
         return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
-    rc = lib.pjt_decode_scan(
+    common = (
         ptr(data, ctypes.c_uint8), ctypes.c_int64(data.size),
         ptr(seg_offsets, ctypes.c_int64), ctypes.c_int32(seg_offsets.size),
+    )
+    tail = (
         ctypes.c_int32(header.restart_interval), ctypes.c_int32(num_mcus),
         ctypes.c_int32(g),
         ptr(slot_comp, ctypes.c_int32),
         ptr(dc_sym, ctypes.c_uint8), ptr(dc_len, ctypes.c_uint8),
         ptr(ac_sym, ctypes.c_uint8), ptr(ac_len, ctypes.c_uint8),
         ptr(comp_dc, ctypes.c_int32), ptr(comp_ac, ctypes.c_int32),
-        ptr(out, ctypes.c_int16), ctypes.byref(err_mcu),
+        ptr(out, ctypes.c_int16),
     )
-    if rc != 0:
-        msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
-        raise JpegError(f"{msg} (MCU {err_mcu.value})")
+
+    ri = header.restart_interval
+    segs_used = -(-num_mcus // ri) if ri else 1
+    threads = max(1, min(threads, segs_used,
+                         num_mcus // _MIN_MCUS_PER_THREAD or 1))
+
+    def raise_on_error(rc: int, err_mcu: ctypes.c_int32) -> None:
+        if rc != 0:
+            msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
+            raise JpegError(f"{msg} (MCU {err_mcu.value})")
+
+    if threads == 1:
+        err_mcu = ctypes.c_int32(-1)
+        rc = lib.pjt_decode_scan(*common, *tail, ctypes.byref(err_mcu))
+        raise_on_error(rc, err_mcu)
+        return out
+
+    if segs_used > seg_offsets.size:
+        raise JpegError(
+            f"Missing restart segment {seg_offsets.size} (have {segs_used})")
+
+    bounds = np.linspace(0, segs_used, threads + 1).astype(np.int32)
+
+    def run_range(b: int, e: int):
+        err_mcu = ctypes.c_int32(-1)
+        rc = lib.pjt_decode_segments(
+            *common, ctypes.c_int32(b), ctypes.c_int32(e), *tail,
+            ctypes.byref(err_mcu))
+        return rc, err_mcu
+
+    futures = [_segment_pool().submit(run_range, int(bounds[i]),
+                                      int(bounds[i + 1]))
+               for i in range(threads) if bounds[i] < bounds[i + 1]]
+    for fut in futures:
+        rc, err_mcu = fut.result()
+        raise_on_error(rc, err_mcu)
     return out

@@ -152,12 +152,20 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const Lut& dc,
 
 extern "C" {
 
-// Decode one interleaved baseline scan.
+// Decode a RANGE of restart segments of one interleaved baseline scan.
+//
+// Restart segments are independent bitstream entry points (byte-aligned,
+// DC predictors reset — ITU-T T.81 E.2.4), so disjoint segment ranges can
+// decode concurrently into disjoint slices of `out`; binding.py fans a
+// large DRI image across a thread pool this way (the segment parallelism
+// the reference leaves unexploited, SURVEY.md section 2 item 4).
 //
 //   data / data_len       de-stuffed entropy bytes (RST markers removed)
 //   seg_offsets/num_segs  byte offsets of restart-segment entry points
-//   restart_interval      MCUs per restart segment (0 = none)
-//   num_mcus              total MCUs to decode
+//   seg_begin/seg_end     segment range [begin, end) to decode
+//   restart_interval      MCUs per restart segment (0 = none; then the
+//                         whole scan is segment 0)
+//   num_mcus              total MCUs in the scan
 //   g                     8x8 block slots per MCU
 //   slot_comp[g]          component index of each slot (0..2)
 //   dc_sym/dc_len         [4][65536] uint8 peek-16 LUTs for DC tables
@@ -166,9 +174,10 @@ extern "C" {
 //   out                   [num_mcus * g * 64] int16, caller-zeroed
 //
 // Returns OK or a negative ErrorCode; *err_mcu reports the failing MCU.
-int32_t pjt_decode_scan(
+int32_t pjt_decode_segments(
     const uint8_t* data, int64_t data_len,
     const int64_t* seg_offsets, int32_t num_segs,
+    int32_t seg_begin, int32_t seg_end,
     int32_t restart_interval, int32_t num_mcus, int32_t g,
     const int32_t* slot_comp,
     const uint8_t* dc_sym, const uint8_t* dc_len,
@@ -176,6 +185,10 @@ int32_t pjt_decode_scan(
     const int32_t* comp_dc_id, const int32_t* comp_ac_id,
     int16_t* out, int32_t* err_mcu) {
   if (g <= 0 || g > 10 || num_mcus < 0 || num_segs < 1) return ERR_BAD_ARGS;
+  if (seg_begin < 0 || seg_begin >= num_segs || seg_end > num_segs ||
+      seg_begin >= seg_end) {
+    return ERR_BAD_ARGS;
+  }
 
   Lut slot_dc[10];
   Lut slot_ac[10];
@@ -190,35 +203,66 @@ int32_t pjt_decode_scan(
                   ac_len + comp_ac_id[ci] * 65536};
   }
 
+  const int64_t mcus_per_seg =
+      restart_interval ? restart_interval : num_mcus;
   BitReader br{data, data_len, 0, 0, 0, 0};
-  br.seek(seg_offsets[0]);
-  int32_t dc_pred[3] = {0, 0, 0};
-  int32_t seg = 0;
 
-  for (int32_t m = 0; m < num_mcus; ++m) {
-    if (restart_interval && m && m % restart_interval == 0) {
-      ++seg;
-      if (seg >= num_segs) {
-        *err_mcu = m;
-        return ERR_MISSING_SEGMENT;
-      }
-      br.seek(seg_offsets[seg]);
-      dc_pred[0] = dc_pred[1] = dc_pred[2] = 0;
-    }
-    int16_t* mcu_out = out + static_cast<int64_t>(m) * g * 64;
-    for (int s = 0; s < g; ++s) {
-      int32_t rc = decode_block(br, mcu_out + s * 64, slot_dc[s], slot_ac[s],
-                                &dc_pred[slot_ci[s]]);
-      if (rc != OK) {
-        *err_mcu = m;
-        return rc;
+  for (int32_t seg = seg_begin; seg < seg_end; ++seg) {
+    const int64_t m_begin = seg * mcus_per_seg;
+    const int64_t m_end =
+        m_begin + mcus_per_seg < num_mcus ? m_begin + mcus_per_seg : num_mcus;
+    br.seek(seg_offsets[seg]);
+    int32_t dc_pred[3] = {0, 0, 0};
+    for (int64_t m = m_begin; m < m_end; ++m) {
+      int16_t* mcu_out = out + m * g * 64;
+      for (int s = 0; s < g; ++s) {
+        int32_t rc = decode_block(br, mcu_out + s * 64, slot_dc[s],
+                                  slot_ac[s], &dc_pred[slot_ci[s]]);
+        if (rc != OK) {
+          *err_mcu = static_cast<int32_t>(m);
+          return rc;
+        }
       }
     }
   }
   return OK;
 }
 
+// Whole-scan convenience wrapper (single-threaded path).
+int32_t pjt_decode_scan(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* seg_offsets, int32_t num_segs,
+    int32_t restart_interval, int32_t num_mcus, int32_t g,
+    const int32_t* slot_comp,
+    const uint8_t* dc_sym, const uint8_t* dc_len,
+    const uint8_t* ac_sym, const uint8_t* ac_len,
+    const int32_t* comp_dc_id, const int32_t* comp_ac_id,
+    int16_t* out, int32_t* err_mcu) {
+  // The scan needs ceil(num_mcus / restart_interval) segments; tolerate
+  // extra recorded offsets but fail early when segments are missing.
+  if (restart_interval > 0) {
+    int64_t needed =
+        (static_cast<int64_t>(num_mcus) + restart_interval - 1) /
+        restart_interval;
+    if (needed > num_segs) {
+      *err_mcu = static_cast<int32_t>(
+          static_cast<int64_t>(num_segs) * restart_interval);
+      return ERR_MISSING_SEGMENT;
+    }
+  }
+  int32_t num_used = restart_interval
+      ? static_cast<int32_t>(
+            (static_cast<int64_t>(num_mcus) + restart_interval - 1) /
+            restart_interval)
+      : 1;
+  if (num_mcus == 0) return OK;
+  return pjt_decode_segments(
+      data, data_len, seg_offsets, num_segs, 0, num_used,
+      restart_interval, num_mcus, g, slot_comp,
+      dc_sym, dc_len, ac_sym, ac_len, comp_dc_id, comp_ac_id, out, err_mcu);
+}
+
 // ABI version tag so binding.py can invalidate stale cached builds.
-int32_t pjt_abi_version() { return 1; }
+int32_t pjt_abi_version() { return 2; }
 
 }  // extern "C"

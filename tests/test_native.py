@@ -75,3 +75,44 @@ class TestNativeMatchesPython:
     def test_ilsvrc(self, ilsvrc_bytes):
         a, b = both(ilsvrc_bytes)
         np.testing.assert_array_equal(a, b)
+
+
+class TestSegmentParallel:
+    """Restart-segment-parallel decode (independent bitstream entry points)."""
+
+    @pytest.fixture(autouse=True)
+    def _no_thread_clamp(self, monkeypatch):
+        # Small fixtures would otherwise clamp to 1 thread; force the
+        # multi-range path so the split logic is actually exercised.
+        from pim_jpeg_decoder_tpu.native import binding
+        monkeypatch.setattr(binding, "_MIN_MCUS_PER_THREAD", 1)
+
+    @pytest.mark.parametrize("threads", [2, 3, 8])
+    def test_matches_single_thread(self, photo_image, threads):
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0",
+                           restart_interval=2)  # 40 segments
+        header = scan_jpeg(data)
+        a = decode_scan_cpp(header, threads=1)
+        b = decode_scan_cpp(header, threads=threads)
+        np.testing.assert_array_equal(a, b)
+
+    def test_no_dri_falls_back_to_single(self, photo_image):
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        header = scan_jpeg(data)
+        a = decode_scan_cpp(header, threads=8)  # 1 segment -> 1 thread
+        np.testing.assert_array_equal(a, decode_scan(header))
+
+    def test_uneven_segment_split(self, photo_image):
+        # 80 MCUs, interval 7 -> 12 segments (last partial) over 5 threads.
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0",
+                           restart_interval=7)
+        header = scan_jpeg(data)
+        a = decode_scan_cpp(header, threads=5)
+        np.testing.assert_array_equal(a, decode_scan(header))
+
+    def test_more_threads_than_segments(self, photo_image):
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0",
+                           restart_interval=40)  # 2 segments
+        header = scan_jpeg(data)
+        a = decode_scan_cpp(header, threads=16)
+        np.testing.assert_array_equal(a, decode_scan(header))
