@@ -12,6 +12,7 @@ entropy kernel.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Tuple
 
 import numpy as np
@@ -57,7 +58,27 @@ class DecodeTable:
     enc_length: np.ndarray   # [256] uint8
 
 
+@functools.lru_cache(maxsize=64)
+def _build_decode_table_cached(counts: bytes, symbols: bytes) -> DecodeTable:
+    spec = HuffmanTableSpec(
+        0, 0,
+        np.frombuffer(counts, np.uint8),
+        np.frombuffer(symbols, np.uint8),
+    )
+    return _build_decode_table(spec)
+
+
 def build_decode_table(spec: HuffmanTableSpec) -> DecodeTable:
+    """Build (or fetch from cache) the peek-16 decode LUT for a table.
+
+    Most corpora reuse the Annex K tables across every image, so the 64K
+    fills amortize to zero (keyed by table content, not identity).
+    """
+    return _build_decode_table_cached(spec.counts.tobytes(),
+                                      spec.symbols.tobytes())
+
+
+def _build_decode_table(spec: HuffmanTableSpec) -> DecodeTable:
     lut_symbol = np.zeros(1 << MAX_CODE_LENGTH, dtype=np.uint8)
     lut_length = np.zeros(1 << MAX_CODE_LENGTH, dtype=np.uint8)
     enc_code = np.zeros(256, dtype=np.uint16)

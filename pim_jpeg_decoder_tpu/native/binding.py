@@ -82,21 +82,40 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-# Per-header LUT staging: [4, 65536] uint8 arrays per table class.
-def _stage_tables(header: JpegHeader):
+# Per-header LUT staging: [4, 65536] uint8 arrays per table class, cached
+# by table content (corpora typically share the Annex K tables, so staging
+# amortizes to a dict lookup).
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _stage_tables_cached(key):
     dc_sym = np.zeros((4, 65536), np.uint8)
     dc_len = np.zeros((4, 65536), np.uint8)
     ac_sym = np.zeros((4, 65536), np.uint8)
     ac_len = np.zeros((4, 65536), np.uint8)
-    for tid, spec in header.dc_tables.items():
+    for klass, tid, counts, symbols in key:
+        from pim_jpeg_decoder_tpu.codec.header import HuffmanTableSpec
+        spec = HuffmanTableSpec(tid, klass,
+                                np.frombuffer(counts, np.uint8),
+                                np.frombuffer(symbols, np.uint8))
         t = build_decode_table(spec)
-        dc_sym[tid] = t.lut_symbol
-        dc_len[tid] = t.lut_length
-    for tid, spec in header.ac_tables.items():
-        t = build_decode_table(spec)
-        ac_sym[tid] = t.lut_symbol
-        ac_len[tid] = t.lut_length
+        if klass == 0:
+            dc_sym[tid] = t.lut_symbol
+            dc_len[tid] = t.lut_length
+        else:
+            ac_sym[tid] = t.lut_symbol
+            ac_len[tid] = t.lut_length
     return dc_sym, dc_len, ac_sym, ac_len
+
+
+def _stage_tables(header: JpegHeader):
+    key = tuple(
+        (klass, tid, spec.counts.tobytes(), spec.symbols.tobytes())
+        for klass, tables in ((0, header.dc_tables), (1, header.ac_tables))
+        for tid, spec in sorted(tables.items())
+    )
+    return _stage_tables_cached(key)
 
 
 # Fan segment ranges across threads only when there is enough work per

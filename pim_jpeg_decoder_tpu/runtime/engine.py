@@ -111,12 +111,16 @@ class DecodeEngine:
             coeffs = entropy_decode(header)
             return PreparedImage(name, header, coeffs)
 
-    def _execute_batch(self, batch: Batch, timers: StageTimers,
-                       write: bool, results: Dict[str, FileResult]) -> None:
+    def _dispatch_batch(self, batch: Batch, timers: StageTimers):
+        """Launch the fused kernel asynchronously (JAX dispatch returns
+        immediately; the device pipeline below overlaps execution + D2H of
+        batch N with dispatch of batch N+1)."""
         with timers.stage("kernel"):
-            slot_rgb_dev = decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
-                                       batch.mode, lane_tile=self.lane_tile)
-            slot_rgb_dev.block_until_ready()
+            return decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
+                               batch.mode, lane_tile=self.lane_tile)
+
+    def _finish_batch(self, batch: Batch, slot_rgb_dev, timers: StageTimers,
+                      write: bool, results: Dict[str, FileResult]) -> None:
         with timers.stage("d2h"):
             slot_rgb = np.asarray(slot_rgb_dev)
         with timers.stage("write"):
@@ -137,24 +141,59 @@ class DecodeEngine:
 
     def decode_named_blobs(self, items: Sequence[Tuple[str, bytes]],
                            write: bool = False) -> EngineReport:
-        """Decode (name, bytes) pairs through the full pipeline."""
+        """Decode (name, bytes) pairs through the full pipeline.
+
+        Set PIM_JPEG_TPU_PROFILE=<dir> to capture a ``jax.profiler`` trace
+        of the run (device-side per-kernel timing; the reference's DPU cycle
+        counters analogue, reference: src/decoder_dpu.c:52-55).
+        """
+        import contextlib
+        import os as _os
+
+        trace_dir = _os.environ.get("PIM_JPEG_TPU_PROFILE")
+        if trace_dir:
+            import jax
+            trace_ctx = jax.profiler.trace(trace_dir)
+        else:
+            trace_ctx = contextlib.nullcontext()
+        with trace_ctx:
+            return self._decode_named_blobs(items, write)
+
+    def _decode_named_blobs(self, items: Sequence[Tuple[str, bytes]],
+                            write: bool) -> EngineReport:
         timers = StageTimers()
         results: Dict[str, FileResult] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
         router = ModeRouter(self.budget_mcus, max_images=self.max_images)
 
         def consumer() -> None:
-            while True:
-                with timers.stage("queue"):
-                    batch = batch_q.get()
-                if batch is None:
-                    return
+            import collections
+            pending = collections.deque()  # depth-2 device pipeline
+
+            def drain_one() -> None:
+                batch, dev = pending.popleft()
                 try:
-                    self._execute_batch(batch, timers, write, results)
+                    self._finish_batch(batch, dev, timers, write, results)
                 except Exception as e:  # record, don't kill the pipeline
                     for img, _ in batch.images:
                         results[img.name] = FileResult(
                             img.name, False, error=f"device decode failed: {e}")
+
+            while True:
+                with timers.stage("queue"):
+                    batch = batch_q.get()
+                if batch is None:
+                    break
+                try:
+                    pending.append((batch, self._dispatch_batch(batch, timers)))
+                except Exception as e:
+                    for img, _ in batch.images:
+                        results[img.name] = FileResult(
+                            img.name, False, error=f"device decode failed: {e}")
+                if len(pending) >= 2:
+                    drain_one()
+            while pending:
+                drain_one()
 
         consumer_thread = threading.Thread(target=consumer, daemon=True)
         consumer_thread.start()
