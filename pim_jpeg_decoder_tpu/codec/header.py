@@ -72,6 +72,35 @@ class ScanSpec:
 
 
 @dataclasses.dataclass
+class ScanData:
+    """One complete scan: SOS parameters + its entropy-coded payload.
+
+    Baseline images have exactly one; progressive images carry a sequence
+    (DC first/refine, per-component AC first/refine bands).  The reference
+    carries progressive block-decode paths but its single-scan reader can
+    never reach a second scan (reference: src/jpeg_scanner.cpp:425-430);
+    multi-scan support here is a deliberate capability extension.
+    """
+    component_indices: List[int]      # indices into header.components
+    dc_ids: List[int]                 # per scan-component DC table selector
+    ac_ids: List[int]                 # per scan-component AC table selector
+    spec: "ScanSpec"
+    restart_interval: int             # DRI value in effect for this scan
+    entropy_bytes: bytes = b""
+    segment_offsets: Tuple[int, ...] = (0,)
+    # Huffman table SNAPSHOTS captured at SOS time — DHT may redefine a
+    # table id between scans, so selectors alone are not stable.
+    dc_specs: List[Optional["HuffmanTableSpec"]] = dataclasses.field(
+        default_factory=list)
+    ac_specs: List[Optional["HuffmanTableSpec"]] = dataclasses.field(
+        default_factory=list)
+
+    @property
+    def interleaved(self) -> bool:
+        return len(self.component_indices) > 1
+
+
+@dataclasses.dataclass
 class JpegHeader:
     """Everything parsed out of a JPEG up to (and including) the scan header."""
     width: int = 0
@@ -86,10 +115,15 @@ class JpegHeader:
     scan: Optional[ScanSpec] = None
     zero_based_ids: bool = False
 
-    # Entropy-coded payload: de-stuffed bytes (0xFF00 collapsed, RSTn removed)
-    # and offsets (into `entropy_bytes`) where each restart segment begins.
-    # segment_offsets[0] == 0 always; len(segment_offsets) == number of
-    # restart segments in the scan.
+    # All scans in stream order (baseline: exactly one).
+    scans: List[ScanData] = dataclasses.field(default_factory=list)
+
+    # Entropy-coded payload of the FIRST scan: de-stuffed bytes (0xFF00
+    # collapsed, RSTn removed) and offsets (into `entropy_bytes`) where each
+    # restart segment begins.  segment_offsets[0] == 0 always;
+    # len(segment_offsets) == number of restart segments in the scan.
+    # (Kept as top-level fields for the baseline fast path; progressive
+    # consumers iterate `scans`.)
     entropy_bytes: bytes = b""
     segment_offsets: Tuple[int, ...] = (0,)
 
@@ -129,6 +163,20 @@ class JpegHeader:
     def mode_key(self) -> Tuple[int, int, int]:
         """(h_max, v_max, ncomp) — selects the fused-kernel variant."""
         return (self.h_max, self.v_max, self.ncomp)
+
+    def comp_blocks(self, ci: int) -> Tuple[int, int]:
+        """Unpadded (blocks_wide, blocks_high) of component ci — the block
+        grid a non-interleaved (progressive) scan covers (T.81 A.2.2)."""
+        c = self.components[ci]
+        w = -(-self.width * c.h // self.h_max)
+        h = -(-self.height * c.v // self.v_max)
+        return (-(-w // 8), -(-h // 8))
+
+    def comp_blocks_padded(self, ci: int) -> Tuple[int, int]:
+        """MCU-padded (blocks_wide, blocks_high) of component ci — the block
+        grid interleaved scans cover."""
+        c = self.components[ci]
+        return (self.mcu_cols * c.h, self.mcu_rows * c.v)
 
     def component_qt(self, comp: Component) -> np.ndarray:
         qt = self.quant_tables.get(comp.qt_id)

@@ -37,6 +37,7 @@ from pim_jpeg_decoder_tpu.codec.header import (
     JpegError,
     JpegHeader,
     QuantTable,
+    ScanData,
     ScanSpec,
     UnsupportedJpegError,
 )
@@ -182,7 +183,7 @@ def _read_sof(cur: _Cursor, header: JpegHeader, marker: int) -> None:
         raise JpegError("SOF segment length mismatch")
 
 
-def _read_sos(cur: _Cursor, header: JpegHeader) -> None:
+def _read_sos(cur: _Cursor, header: JpegHeader) -> ScanData:
     """SOS scan header with baseline/progressive validity rules."""
     if not header.components:
         raise JpegError("SOS marker before SOF")
@@ -190,29 +191,45 @@ def _read_sos(cur: _Cursor, header: JpegHeader) -> None:
     start = cur.pos
 
     nscan = cur.u8()
-    if nscan != header.ncomp:
+    if not header.progressive and nscan != header.ncomp:
         raise UnsupportedJpegError(
             f"Scan component count {nscan} != frame component count {header.ncomp} "
-            "(non-interleaved scans not supported)")
-    by_id = {c.component_id: c for c in header.components}
+            "(non-interleaved baseline scans not supported)")
+    if not 1 <= nscan <= header.ncomp:
+        raise JpegError(f"Invalid scan component count: {nscan}")
+
+    by_id = {c.component_id: i for i, c in enumerate(header.components)}
+    comp_indices: list = []
+    dc_ids: list = []
+    ac_ids: list = []
     for _ in range(nscan):
         cid = cur.u8()
         if header.zero_based_ids:
             cid += 1
-        comp = by_id.get(cid)
-        if comp is None:
+        ci = by_id.get(cid)
+        if ci is None:
             raise JpegError(f"Invalid color component ID in scan: {cid}")
         tables = cur.u8()
-        comp.dc_id = tables >> 4
-        comp.ac_id = tables & 0x0F
-        if comp.dc_id > 3 or comp.ac_id > 3:
+        dc_id = tables >> 4
+        ac_id = tables & 0x0F
+        if dc_id > 3 or ac_id > 3:
             raise JpegError("Invalid Huffman table ID in scan header")
+        comp_indices.append(ci)
+        dc_ids.append(dc_id)
+        ac_ids.append(ac_id)
+    if comp_indices != sorted(set(comp_indices)):
+        raise JpegError("Scan components must be unique and in frame order")
 
     ss = cur.u8()
     se = cur.u8()
     approx = cur.u8()
     scan = ScanSpec(ss, se, approx >> 4, approx & 0x0F)
-    header.scan = scan
+    if header.scan is None:
+        header.scan = scan
+        # Legacy view: first scan's table selectors on the components.
+        for ci, dc_id, ac_id in zip(comp_indices, dc_ids, ac_ids):
+            header.components[ci].dc_id = dc_id
+            header.components[ci].ac_id = ac_id
 
     if header.progressive:
         # Progressive spectral selection / successive approximation rules
@@ -239,6 +256,8 @@ def _read_sos(cur: _Cursor, header: JpegHeader) -> None:
 
     if cur.pos - start != length:
         raise JpegError("SOS segment length mismatch")
+    return ScanData(comp_indices, dc_ids, ac_ids, scan,
+                    header.restart_interval)
 
 
 def _read_dri(cur: _Cursor, header: JpegHeader) -> None:
@@ -256,16 +275,20 @@ def _skip_segment(cur: _Cursor) -> None:
     cur.take(length - 2)
 
 
-def _scan_entropy(data: bytes, pos: int) -> Tuple[bytes, Tuple[int, ...], int]:
+def _scan_entropy(data: bytes, pos: int,
+                  stop_at_marker: bool = False) -> Tuple[bytes, Tuple[int, ...], int]:
     """De-stuff the entropy-coded segment starting at `pos`.
 
-    Returns (destuffed_bytes, restart_segment_offsets, pos_after_EOI).
+    Returns (destuffed_bytes, restart_segment_offsets, end_pos) where
+    end_pos is just past the EOI, or — with ``stop_at_marker`` (multi-scan
+    progressive streams) — the position OF the terminating marker's 0xFF.
 
-    Semantics mirror the reference entropy scan
+    Baseline semantics mirror the reference entropy scan
     (reference: src/jpeg_scanner.cpp:405-433): 0xFF 0x00 collapses to 0xFF,
     RST0-7 markers are removed (we additionally record the de-stuffed offset
     where the following segment begins), stray 0xFF fill bytes are
-    tolerated, EOI terminates, and any other marker raises.
+    tolerated, EOI terminates, and any other marker raises unless
+    ``stop_at_marker``.
 
     Vectorized: bulk-copies the runs between 0xFF positions so the Python
     loop only touches actual 0xFF bytes.
@@ -274,6 +297,10 @@ def _scan_entropy(data: bytes, pos: int) -> Tuple[bytes, Tuple[int, ...], int]:
     out_chunks: List[np.ndarray] = []
     offsets: List[int] = [0]
     out_len = 0
+
+    def joined() -> bytes:
+        out = np.concatenate(out_chunks) if out_chunks else np.zeros(0, np.uint8)
+        return out.tobytes()
 
     ff_positions = np.flatnonzero(buf[pos:] == 0xFF) + pos
     prev = pos
@@ -297,11 +324,12 @@ def _scan_entropy(data: bytes, pos: int) -> Tuple[bytes, Tuple[int, ...], int]:
         elif 0xD0 <= nxt <= 0xD7:            # RSTn: segment boundary
             offsets.append(out_len)
             prev = p + 2
-        elif nxt == 0xD9:                    # EOI
-            joined = np.concatenate(out_chunks) if out_chunks else np.zeros(0, np.uint8)
-            return joined.tobytes(), tuple(offsets), p + 2
+        elif nxt == 0xD9:                    # EOI (left unconsumed when the
+            return joined(), tuple(offsets), (p if stop_at_marker else p + 2)
         elif nxt == 0xFF:                    # fill byte; re-examine next 0xFF
             prev = p + 1
+        elif stop_at_marker:                 # next scan's marker segment
+            return joined(), tuple(offsets), p
         else:
             raise JpegError(
                 f"Invalid marker {M.marker_name(0xFF00 | int(nxt))} inside "
@@ -330,7 +358,25 @@ def scan_jpeg(data: bytes) -> JpegHeader:
             marker = (marker << 8 | cur.u8()) & 0xFFFF
 
         if marker == M.SOS:
-            _read_sos(cur, header)
+            scan = _read_sos(cur, header)
+            # Snapshot the table definitions in effect for THIS scan.
+            scan.dc_specs = [header.dc_tables.get(t) for t in scan.dc_ids]
+            scan.ac_specs = [header.ac_tables.get(t) for t in scan.ac_ids]
+            scan.entropy_bytes, scan.segment_offsets, end = _scan_entropy(
+                data, cur.pos, stop_at_marker=header.progressive)
+            header.scans.append(scan)
+            cur.pos = end
+            if not header.progressive:
+                # Baseline: exactly one scan; _scan_entropy consumed to EOI
+                # (erroring on stray markers like the reference).
+                break
+            # Progressive: keep reading markers — tables may be redefined
+            # between scans; EOI ends the stream.
+            nxt = cur.u16()
+            if nxt == M.EOI:
+                break
+            cur.pos -= 2
+        elif marker == M.EOI and header.scans:
             break
         elif marker in (M.SOF0, M.SOF2):
             _read_sof(cur, header, marker)
@@ -363,31 +409,27 @@ def scan_jpeg(data: bytes) -> JpegHeader:
         else:
             raise JpegError(f"Unknown marker: {M.marker_name(marker)}")
 
-    # Post-SOS structural validation before the (potentially large) entropy scan.
+    # Structural validation.
     for c in header.components:
         if c.qt_id not in header.quant_tables:
             raise JpegError(
                 f"Color component {c.component_id} references missing "
                 f"quantization table {c.qt_id}")
-        if not header.progressive:
-            if c.dc_id not in header.dc_tables:
-                raise JpegError(
-                    f"Color component {c.component_id} references missing "
-                    f"DC Huffman table {c.dc_id}")
-            if c.ac_id not in header.ac_tables:
-                raise JpegError(
-                    f"Color component {c.component_id} references missing "
-                    f"AC Huffman table {c.ac_id}")
+    for scan in header.scans:
+        first_pass = scan.spec.successive_high == 0
+        for i in range(len(scan.component_indices)):
+            if scan.spec.start_of_selection == 0 and first_pass:
+                if scan.dc_specs[i] is None:
+                    raise JpegError(
+                        f"Scan references missing DC Huffman table "
+                        f"{scan.dc_ids[i]}")
+            if scan.spec.end_of_selection > 0:   # band includes AC coeffs
+                if scan.ac_specs[i] is None:
+                    raise JpegError(
+                        f"Scan references missing AC Huffman table "
+                        f"{scan.ac_ids[i]}")
 
-    header.entropy_bytes, header.segment_offsets, _ = _scan_entropy(data, cur.pos)
-
-    if header.progressive:
-        # The reference parses SOF2 but its single-scan reader errors at the
-        # next scan's marker, so progressive never completes end-to-end
-        # (reference: src/jpeg_scanner.cpp:425-430).  We fail with a clear
-        # message instead; _scan_entropy above raises first when later-scan
-        # markers appear mid-stream.
-        raise UnsupportedJpegError(
-            "Progressive JPEG (SOF2) parsing is supported but progressive "
-            "decode is not")
+    # Legacy single-scan view (the baseline fast path's interface).
+    header.entropy_bytes = header.scans[0].entropy_bytes
+    header.segment_offsets = header.scans[0].segment_offsets
     return header

@@ -37,8 +37,13 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 def entropy_decode(header: JpegHeader) -> np.ndarray:
     """Entropy-decode via the native C++ fast path, NumPy fallback.
 
-    Returns ``[num_mcus, g, 64]`` int16 natural-order coefficients.
+    Progressive frames route through the multi-scan successive-approximation
+    decoder; both paths emit ``[num_mcus, g, 64]`` int16 natural-order
+    coefficients, so the device pipeline is shared.
     """
+    if header.progressive:
+        from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+        return decode_progressive(header)
     from pim_jpeg_decoder_tpu.native import decode_scan_native
     return decode_scan_native(header)
 

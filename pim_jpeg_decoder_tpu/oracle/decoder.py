@@ -75,8 +75,12 @@ def assemble_raster(header: JpegHeader, mcu_rgb: np.ndarray) -> np.ndarray:
 
 
 def decode_bytes_oracle(data: bytes) -> DecodedImage:
-    """Full oracle decode of one baseline JPEG."""
+    """Full oracle decode of one JPEG (baseline or progressive)."""
     header = scan_jpeg(data)
-    coeffs = decode_scan(header)
+    if header.progressive:
+        from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+        coeffs = decode_progressive(header)
+    else:
+        coeffs = decode_scan(header)
     mcu_rgb = mcu_rgb_from_coeffs(header, coeffs)
     return DecodedImage(assemble_raster(header, mcu_rgb), header)

@@ -1,0 +1,109 @@
+"""Progressive (SOF2) decode tests — golden comparison vs PIL/libjpeg.
+
+Capability extension over the reference: the reference carries progressive
+block-decode paths but can never complete progressive end-to-end
+(reference: src/jpeg_scanner.cpp:425-430,521-704).  Here the full multi-scan
+successive-approximation decode runs, feeding the same TPU transport layout
+as baseline.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+
+
+def pil_progressive(img, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", progressive=True, **kw)
+    return buf.getvalue()
+
+
+def pil_decode(data):
+    return np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+class TestProgressiveOracle:
+    @pytest.mark.parametrize("quality", [50, 85, 95])
+    def test_444_pixel_exact(self, photo_image, quality):
+        data = pil_progressive(photo_image, quality=quality, subsampling=0)
+        ours = decode_bytes_oracle(data)
+        assert ours.header.progressive
+        assert len(ours.header.scans) > 1
+        np.testing.assert_array_equal(ours.rgb, pil_decode(data))
+
+    def test_gray_pixel_exact(self, photo_image):
+        gray = np.array(Image.fromarray(photo_image).convert("L"))
+        data = pil_progressive(gray, quality=85)
+        np.testing.assert_array_equal(
+            decode_bytes_oracle(data).rgb, pil_decode(data))
+
+    def test_noise_pixel_exact(self, noise_image):
+        """Dense spectra exercise ZRL/EOB-run/refinement paths heavily."""
+        data = pil_progressive(noise_image, quality=95, subsampling=0)
+        np.testing.assert_array_equal(
+            decode_bytes_oracle(data).rgb, pil_decode(data))
+
+    def test_444_with_restart_markers(self, photo_image):
+        data = pil_progressive(photo_image, quality=85, subsampling=0,
+                               restart_marker_blocks=4)
+        ours = decode_bytes_oracle(data)
+        assert any(len(s.segment_offsets) > 1 for s in ours.header.scans)
+        np.testing.assert_array_equal(ours.rgb, pil_decode(data))
+
+    @pytest.mark.parametrize("sampling", [1, 2])
+    def test_subsampled_close_to_pil(self, photo_image, sampling):
+        """Nearest vs fancy upsampling (same divergence as baseline)."""
+        data = pil_progressive(photo_image, quality=85, subsampling=sampling)
+        ours = decode_bytes_oracle(data).rgb.astype(np.int32)
+        pil = pil_decode(data).astype(np.int32)
+        assert np.abs(ours - pil).mean() < 6.0
+        # Uniform-chroma content: upsampling is irrelevant -> pixel exact.
+        gray_rgb = np.stack([photo_image[..., 1]] * 3, axis=-1)
+        data = pil_progressive(gray_rgb, quality=85, subsampling=sampling)
+        np.testing.assert_array_equal(
+            decode_bytes_oracle(data).rgb, pil_decode(data))
+
+    def test_subsampled_with_restart_rows(self, photo_image):
+        gray_rgb = np.stack([photo_image[..., 0]] * 3, axis=-1)
+        data = pil_progressive(gray_rgb, quality=80, subsampling=2,
+                               restart_marker_rows=2)
+        np.testing.assert_array_equal(
+            decode_bytes_oracle(data).rgb, pil_decode(data))
+
+    @pytest.mark.parametrize("size", [(8, 8), (17, 9), (31, 33)])
+    def test_odd_dimensions(self, rng, size):
+        img = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+        data = pil_progressive(img, quality=90, subsampling=0)
+        ours = decode_bytes_oracle(data)
+        assert ours.rgb.shape == (*size, 3)
+        np.testing.assert_array_equal(ours.rgb, pil_decode(data))
+
+
+class TestProgressiveTransport:
+    def test_transport_layout_matches_baseline_content(self, photo_image):
+        """Progressive and baseline encodings of the same pixels produce
+        similar coefficient planes (sanity of the scan accumulation)."""
+        prog = pil_progressive(photo_image, quality=90, subsampling=0)
+        header = scan_jpeg(prog)
+        coeffs = decode_progressive(header)
+        assert coeffs.shape == (header.num_mcus, 3, 64)
+        assert coeffs.dtype == np.int16
+        # DC of a mid-gray-ish photo: nonzero for nearly all blocks.
+        assert (coeffs[:, 0, 0] != 0).mean() > 0.9
+
+    def test_progressive_through_engine(self, photo_image):
+        """Progressive images decode through the full TPU pipeline."""
+        from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+        data = pil_progressive(photo_image, quality=85, subsampling=0)
+        engine = DecodeEngine(budget_mcus=512, lane_tile=128, keep_rgb=True)
+        report = engine.decode_named_blobs([("p", data)])
+        assert report.results[0].ok, report.results[0].error
+        np.testing.assert_array_equal(report.results[0].rgb,
+                                      decode_bytes_oracle(data).rgb)
+        np.testing.assert_array_equal(report.results[0].rgb, pil_decode(data))

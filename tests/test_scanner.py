@@ -100,15 +100,24 @@ class TestScannerErrors:
             with pytest.raises(UnsupportedJpegError, match="frame type"):
                 scan_jpeg(bytes(mutated))
 
-    def test_progressive_rejected_clearly(self, photo_image):
-        # SOF2 parses, but single-scan progressive streams cannot complete:
-        # the entropy scan hits the next scan's marker, or if the scan were
-        # complete, decode is refused with an explicit message.
-        data = bytearray(make_jpeg(photo_image, sampling="4:4:4"))
-        idx = data.find(struct.pack(">H", M.SOF0))
-        data[idx:idx + 2] = struct.pack(">H", M.SOF2)
-        with pytest.raises(JpegError):
-            scan_jpeg(bytes(data))
+    def test_progressive_multi_scan_parses(self, photo_image):
+        # Progressive streams parse into a scan list (capability extension:
+        # the reference errors at the second scan's markers,
+        # ref jpeg_scanner.cpp:425-430).
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(photo_image).save(buf, format="JPEG",
+                                          progressive=True, quality=85,
+                                          subsampling=0)
+        h = scan_jpeg(buf.getvalue())
+        assert h.progressive
+        assert len(h.scans) > 1
+        first = h.scans[0].spec
+        assert (first.start_of_selection, first.end_of_selection)[1] == 0  # DC scan first
+        for s in h.scans[1:]:
+            if s.spec.start_of_selection > 0:
+                assert len(s.component_indices) == 1
 
     def test_bad_precision(self, photo_image):
         data = bytearray(make_jpeg(photo_image, sampling="4:4:4"))
