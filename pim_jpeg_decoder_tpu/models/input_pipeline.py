@@ -1,0 +1,98 @@
+"""Device-resident batch decode: JPEG bytes -> training batch, no host RGB.
+
+The TPU-native deployment story the reference cannot have: when decode
+feeds an ML input pipeline (the ImageNet use-case of BASELINE.json), the
+decoded pixels should never leave the chip.  This module decodes a batch of
+same-sized JPEGs into a single ``[B, H, W, 3]`` uint8 device array — host
+work is only the marker scan + entropy decode (coefficients H2D are ~5-10x
+smaller than RGB), and raster assembly happens as XLA reshapes on device
+instead of NumPy on host.
+
+Same-size batches are the natural unit for dataset pipelines (size
+bucketing happens upstream); mixed-size corpora use
+:class:`pim_jpeg_decoder_tpu.runtime.engine.DecodeEngine` instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pim_jpeg_decoder_tpu.codec.header import JpegError, JpegHeader
+from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+from pim_jpeg_decoder_tpu.models.pipeline import build_qpool, entropy_decode
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import (
+    LANE_TILE,
+    decode_mcus_impl,
+    _interpret,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
+                     "height", "width"),
+)
+def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
+                      lane_tile: int, interpret: bool, batch: int,
+                      gh: int, gw: int, height: int, width: int):
+    slot_rgb = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
+                                lane_tile=lane_tile, interpret=interpret)
+    v, h = mode.v, mode.h
+    per_img = gh * gw
+    img = slot_rgb[: batch * per_img]
+    # [B*M, V*H, 64, 3] slot-major -> [B, gh*V*8, gw*H*8, 3] raster.
+    img = img.reshape(batch, gh, gw, v, h, 8, 8, 3)
+    img = img.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    img = img.reshape(batch, gh * v * 8, gw * h * 8, 3)
+    return img[:, :height, :width, :]
+
+
+def decode_same_size_batch(
+    blobs: Sequence[bytes],
+    lane_tile: int = LANE_TILE,
+) -> Tuple[jax.Array, List[JpegHeader]]:
+    """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
+
+    All images must share dimensions and sampling mode.  Returns the device
+    array (uint8, still on chip — feed it straight into augmentation or a
+    model) and the parsed headers.
+    """
+    if not blobs:
+        raise ValueError("empty batch")
+    headers = [scan_jpeg(b) for b in blobs]
+    h0 = headers[0]
+    mode = S.mode_for(h0.mode_key)
+    for h in headers[1:]:
+        if (h.width, h.height, h.mode_key) != (h0.width, h0.height,
+                                               h0.mode_key):
+            raise JpegError(
+                "decode_same_size_batch requires identical dimensions and "
+                f"sampling: {(h.width, h.height, h.mode_key)} != "
+                f"{(h0.width, h0.height, h0.mode_key)}")
+
+    batch = len(blobs)
+    per_img = h0.num_mcus
+    m_total = batch * per_img
+    m_pad = -(-m_total // lane_tile) * lane_tile
+
+    coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
+    qidx = np.zeros(m_pad, np.int32)
+    for i, header in enumerate(headers):
+        coeffs[i * per_img:(i + 1) * per_img] = entropy_decode(header)
+        qidx[i * per_img:(i + 1) * per_img] = i
+    qpool = build_qpool(headers, mode)
+
+    out = _decode_batch_jit(
+        jnp.asarray(coeffs), jnp.asarray(qidx),
+        jnp.asarray(qpool, jnp.float32),
+        mode=mode, lane_tile=lane_tile, interpret=_interpret(),
+        batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
+        height=h0.height, width=h0.width)
+    return out, headers

@@ -58,6 +58,17 @@ struct BitReader {
   }
 
   inline void fill() {
+    if (cnt > 32) return;
+    if (pos + 4 <= len) {
+      // Fast path: the stream is already de-stuffed, so a raw 32-bit
+      // big-endian load needs no marker checks.
+      uint32_t w;
+      __builtin_memcpy(&w, data + pos, 4);
+      buf = (buf << 32) | __builtin_bswap32(w);
+      cnt += 32;
+      pos += 4;
+      return;
+    }
     while (cnt <= 56) {
       uint8_t b;
       if (pos < len) {
