@@ -31,7 +31,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="decode only; skip BMP output")
     parser.add_argument("--quiet", action="store_true",
                         help="suppress the profile report")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler trace to DIR "
+                             "(device-side per-kernel timing)")
     args = parser.parse_args(argv)
+
+    import os
+    if args.profile:
+        os.environ["PIM_JPEG_TPU_PROFILE"] = args.profile
 
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
 
