@@ -1,0 +1,120 @@
+"""Multi-host scaling-efficiency harness (BASELINE.md: >=90% at N>=2 hosts).
+
+Each process decodes its strided shard of the corpus against its local
+chips (whole-image sharding: zero cross-host data dependencies — see
+pim_jpeg_decoder_tpu/parallel/multihost.py), then process 0 aggregates
+megapixels and wall time over DCN and reports throughput + scaling
+efficiency vs the single-process baseline.
+
+Run single-process (baseline):
+    python tools/scaling_bench.py
+
+Run N processes on one machine (CPU backend, simulates N hosts):
+    python tools/scaling_bench.py --num-processes 2 --process-id 0 &
+    python tools/scaling_bench.py --num-processes 2 --process-id 1 &
+    wait
+
+On a real TPU pod each host runs the same command with its pod-provided
+process id / coordinator (or zero args with TPU auto-detection).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_corpus(n: int):
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    blobs = []
+    for i in range(n):
+        small = rng.integers(0, 256, (24, 32, 3), np.uint8)
+        img = np.array(Image.fromarray(small).resize((500, 375),
+                                                     Image.BILINEAR))
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=75,
+                                  subsampling=2)
+        blobs.append((f"img{i}", buf.getvalue()))
+    return blobs
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--coordinator", default="localhost:9876")
+    parser.add_argument("--images", type=int, default=32)
+    parser.add_argument("--baseline-mps", type=float, default=None,
+                        help="single-process MP/s for efficiency reporting")
+    args = parser.parse_args()
+
+    multi = args.num_processes is not None and args.num_processes > 1
+    if multi:
+        # CPU-backend multi-process simulation of a multi-host pod.
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    else:
+        import jax
+
+    from pim_jpeg_decoder_tpu.parallel.multihost import partition_paths
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+
+    corpus = make_corpus(args.images)
+    names = [n for n, _ in corpus]
+    mine = set(partition_paths(names))
+    shard = [(n, b) for n, b in corpus if n in mine]
+
+    engine = DecodeEngine(budget_mcus=4096, lane_tile=256)
+    engine.decode_named_blobs(shard[:2])           # warmup/compile
+
+    t0 = time.monotonic()
+    report = engine.decode_named_blobs(shard)
+    dt = time.monotonic() - t0
+    local_mp = report.total_megapixels
+
+    if multi:
+        import jax
+        from jax.experimental import multihost_utils
+        stats = multihost_utils.process_allgather(
+            np.array([local_mp, dt], np.float64))
+        total_mp = float(stats[:, 0].sum())
+        wall = float(stats[:, 1].max())     # makespan across hosts
+        if jax.process_index() == 0:
+            mps = total_mp / wall
+            out = {
+                "metric": "multi-host decode throughput",
+                "hosts": args.num_processes,
+                "value": round(mps, 2),
+                "unit": "MP/s",
+            }
+            if args.baseline_mps:
+                out["scaling_efficiency"] = round(
+                    mps / (args.baseline_mps * args.num_processes), 3)
+            print(json.dumps(out))
+    else:
+        print(json.dumps({
+            "metric": "single-process decode throughput",
+            "hosts": 1,
+            "value": round(local_mp / dt, 2),
+            "unit": "MP/s",
+        }))
+
+
+if __name__ == "__main__":
+    main()
