@@ -1,0 +1,49 @@
+"""Unfused stage kernels must compose to exactly the fused kernel's output."""
+
+import numpy as np
+import pytest
+
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus
+from pim_jpeg_decoder_tpu.ops.stage_kernels import (
+    color_stage,
+    decode_mcus_staged,
+    dequantize_stage,
+    idct_stage,
+)
+
+LANE_TILE = 128
+
+
+@pytest.mark.parametrize("mode_key", [(2, 2, 3), (1, 1, 3), (1, 1, 1)])
+def test_staged_equals_fused(rng, mode_key):
+    mode = S.mode_for(mode_key)
+    m = 2 * LANE_TILE
+    coeffs = rng.integers(-300, 300, (m, mode.g, 64)).astype(np.int16)
+    qidx = (np.arange(m) % 2).astype(np.int32)
+    qpool = rng.integers(1, 100, (2, mode.g, 64)).astype(np.float32)
+    staged = np.asarray(decode_mcus_staged(coeffs, qidx, qpool, mode,
+                                           lane_tile=LANE_TILE))
+    fused = np.asarray(decode_mcus(coeffs, qidx, qpool, mode,
+                                   lane_tile=LANE_TILE))
+    np.testing.assert_array_equal(staged, fused)
+
+
+def test_stage_contracts(rng):
+    mode = S.mode_for((2, 2, 3))
+    m = LANE_TILE
+    coeffs = rng.integers(-300, 300, (m, mode.g, 64)).astype(np.int16)
+    qidx = np.zeros(m, np.int32)
+    qpool = np.full((1, mode.g, 64), 3, np.float32)
+
+    deq = np.asarray(dequantize_stage(coeffs, qidx, qpool, mode=mode,
+                                      lane_tile=LANE_TILE))
+    np.testing.assert_array_equal(
+        deq, np.clip(coeffs.astype(np.int32) * 3, -32768, 32767))
+
+    spat = np.asarray(idct_stage(deq, mode=mode, lane_tile=LANE_TILE))
+    assert spat.min() >= S.SAMPLE_MIN and spat.max() <= S.SAMPLE_MAX
+
+    rgb = np.asarray(color_stage(spat, mode=mode, lane_tile=LANE_TILE))
+    assert rgb.shape == (m, 4, 64, 3)
+    assert rgb.dtype == np.uint8
