@@ -20,7 +20,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from pim_jpeg_decoder_tpu.codec.header import JpegError, JpegHeader
-from pim_jpeg_decoder_tpu.codec.huffman import build_decode_table
 
 _SRC = os.path.join(os.path.dirname(__file__), "entropy.cpp")
 
@@ -73,7 +72,7 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_decode_scan.restype = ctypes.c_int32
             lib.pjt_decode_segments.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 2:
+            if lib.pjt_abi_version() != 3:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -82,40 +81,21 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-# Per-header LUT staging: [4, 65536] uint8 arrays per table class, cached
-# by table content (corpora typically share the Annex K tables, so staging
-# amortizes to a dict lookup).
-import functools
-
-
-@functools.lru_cache(maxsize=32)
-def _stage_tables_cached(key):
-    dc_sym = np.zeros((4, 65536), np.uint8)
-    dc_len = np.zeros((4, 65536), np.uint8)
-    ac_sym = np.zeros((4, 65536), np.uint8)
-    ac_len = np.zeros((4, 65536), np.uint8)
-    for klass, tid, counts, symbols in key:
-        from pim_jpeg_decoder_tpu.codec.header import HuffmanTableSpec
-        spec = HuffmanTableSpec(tid, klass,
-                                np.frombuffer(counts, np.uint8),
-                                np.frombuffer(symbols, np.uint8))
-        t = build_decode_table(spec)
-        if klass == 0:
-            dc_sym[tid] = t.lut_symbol
-            dc_len[tid] = t.lut_length
-        else:
-            ac_sym[tid] = t.lut_symbol
-            ac_len[tid] = t.lut_length
-    return dc_sym, dc_len, ac_sym, ac_len
-
-
+# Per-header table staging: raw DHT definitions ([4,16] counts, [4,162]
+# symbols per class); the C++ side builds its L1-resident lookahead tables
+# from these (a few microseconds per call).
 def _stage_tables(header: JpegHeader):
-    key = tuple(
-        (klass, tid, spec.counts.tobytes(), spec.symbols.tobytes())
-        for klass, tables in ((0, header.dc_tables), (1, header.ac_tables))
-        for tid, spec in sorted(tables.items())
-    )
-    return _stage_tables_cached(key)
+    dc_counts = np.zeros((4, 16), np.uint8)
+    dc_symbols = np.zeros((4, 162), np.uint8)
+    ac_counts = np.zeros((4, 16), np.uint8)
+    ac_symbols = np.zeros((4, 162), np.uint8)
+    for tid, spec in header.dc_tables.items():
+        dc_counts[tid] = spec.counts
+        dc_symbols[tid, : spec.symbols.size] = spec.symbols
+    for tid, spec in header.ac_tables.items():
+        ac_counts[tid] = spec.counts
+        ac_symbols[tid, : spec.symbols.size] = spec.symbols
+    return dc_counts, dc_symbols, ac_counts, ac_symbols
 
 
 # Fan segment ranges across threads only when there is enough work per
@@ -163,7 +143,7 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1) -> np.ndarray:
         comp_dc[ci] = c.dc_id
         comp_ac[ci] = c.ac_id
 
-    dc_sym, dc_len, ac_sym, ac_len = _stage_tables(header)
+    dc_counts, dc_symbols, ac_counts, ac_symbols = _stage_tables(header)
     data = np.frombuffer(header.entropy_bytes, np.uint8)
     seg_offsets = np.asarray(header.segment_offsets, np.int64)
     out = np.zeros((num_mcus, g, 64), np.int16)
@@ -179,8 +159,8 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1) -> np.ndarray:
         ctypes.c_int32(header.restart_interval), ctypes.c_int32(num_mcus),
         ctypes.c_int32(g),
         ptr(slot_comp, ctypes.c_int32),
-        ptr(dc_sym, ctypes.c_uint8), ptr(dc_len, ctypes.c_uint8),
-        ptr(ac_sym, ctypes.c_uint8), ptr(ac_len, ctypes.c_uint8),
+        ptr(dc_counts, ctypes.c_uint8), ptr(dc_symbols, ctypes.c_uint8),
+        ptr(ac_counts, ctypes.c_uint8), ptr(ac_symbols, ctypes.c_uint8),
         ptr(comp_dc, ctypes.c_int32), ptr(comp_ac, ctypes.c_int32),
         ptr(out, ctypes.c_int16),
     )

@@ -4,8 +4,9 @@
 // decode_Huffman_data / decode_MCU_component / BitReader
 // (reference: src/jpeg_scanner.cpp:707-756,467-520; src/headers/jpeg.h:81-122),
 // rebuilt with:
-//   * a 64-bit bit buffer and flat 16-bit peek LUTs (one lookup per symbol,
-//     vs the reference's bit-at-a-time linear code search),
+//   * a 64-bit bit buffer with an 8-bit L1-resident lookahead LUT plus
+//     canonical maxcode fallback (vs the reference's bit-at-a-time linear
+//     code search),
 //   * restart intervals counted in MCUs per ITU-T T.81 E.2.4 with recorded
 //     segment byte offsets as re-entry points,
 //   * output written directly into the TPU transport layout
@@ -110,23 +111,78 @@ inline int32_t extend_signed(uint32_t value, int32_t size) {
   return static_cast<int32_t>(value);
 }
 
-struct Lut {
-  const uint8_t* sym;
-  const uint8_t* len;
+// Canonical Huffman decode table: an 8-bit L1-resident lookahead LUT for
+// short codes (the overwhelming majority) plus maxcode/valoffset arrays for
+// the 9..16-bit tail — the libjpeg-style structure, vastly more cache
+// friendly than a flat peek-16 LUT.
+struct HuffTable {
+  uint16_t lut[256];       // (symbol << 8) | code_length for lengths <= 8
+  int32_t maxcode[17];     // largest code of each length, or -1
+  int32_t valoffset[17];   // symbol_index = code + valoffset[length]
+  const uint8_t* symbols;  // canonical symbol order (borrowed)
+  bool present;
 };
 
-inline int32_t decode_symbol(BitReader& br, const Lut& lut, int32_t* out_sym) {
-  uint32_t peek = br.peek16();
-  int32_t n = lut.len[peek];
-  if (n == 0) return ERR_BAD_CODE;
-  br.drop(n);
-  if (br.exhausted()) return ERR_OUT_OF_DATA;
-  *out_sym = lut.sym[peek];
-  return OK;
+// Builds the decode structure from DHT counts/symbols.  Returns false for
+// structurally invalid tables (code overflow).
+inline bool build_table(const uint8_t* counts, const uint8_t* symbols,
+                        HuffTable* t) {
+  for (int i = 0; i < 256; ++i) t->lut[i] = 0;
+  t->symbols = symbols;
+  int32_t code = 0;
+  int32_t k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    int n = counts[l - 1];
+    if (n == 0) {
+      t->maxcode[l] = -1;
+      t->valoffset[l] = 0;
+    } else {
+      if (code + n > (1 << l)) return false;  // over-subscribed
+      t->valoffset[l] = k - code;
+      if (l <= 8) {
+        for (int j = 0; j < n; ++j) {
+          uint16_t entry =
+              static_cast<uint16_t>((symbols[k + j] << 8) | l);
+          int lo = (code + j) << (8 - l);
+          int hi = lo + (1 << (8 - l));
+          for (int p = lo; p < hi; ++p) t->lut[p] = entry;
+        }
+      }
+      code += n;
+      k += n;
+      t->maxcode[l] = code - 1;
+    }
+    code <<= 1;
+  }
+  t->present = k > 0;
+  return true;
 }
 
-inline int32_t decode_block(BitReader& br, int16_t* out, const Lut& dc,
-                            const Lut& ac, int32_t* dc_pred) {
+inline int32_t decode_symbol(BitReader& br, const HuffTable& tab,
+                             int32_t* out_sym) {
+  uint32_t p16 = br.peek16();
+  uint16_t e = tab.lut[p16 >> 8];
+  if (e) {
+    br.drop(e & 0xFF);
+    if (br.exhausted()) return ERR_OUT_OF_DATA;
+    *out_sym = e >> 8;
+    return OK;
+  }
+  // Long code: scan lengths 9..16 against maxcode.
+  for (int l = 9; l <= 16; ++l) {
+    int32_t c = static_cast<int32_t>(p16 >> (16 - l));
+    if (tab.maxcode[l] >= 0 && c <= tab.maxcode[l]) {
+      br.drop(l);
+      if (br.exhausted()) return ERR_OUT_OF_DATA;
+      *out_sym = tab.symbols[c + tab.valoffset[l]];
+      return OK;
+    }
+  }
+  return ERR_BAD_CODE;
+}
+
+inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
+                            const HuffTable& ac, int32_t* dc_pred) {
   int32_t t;
   int32_t rc = decode_symbol(br, dc, &t);
   if (rc != OK) return rc;
@@ -179,8 +235,8 @@ extern "C" {
 //   num_mcus              total MCUs in the scan
 //   g                     8x8 block slots per MCU
 //   slot_comp[g]          component index of each slot (0..2)
-//   dc_sym/dc_len         [4][65536] uint8 peek-16 LUTs for DC tables
-//   ac_sym/ac_len         [4][65536] uint8 peek-16 LUTs for AC tables
+//   dc_counts/dc_symbols  [4][16] / [4][162] uint8 DHT definitions (DC)
+//   ac_counts/ac_symbols  [4][16] / [4][162] uint8 DHT definitions (AC)
 //   comp_dc_id/comp_ac_id [3] table selector per component
 //   out                   [num_mcus * g * 64] int16, caller-zeroed
 //
@@ -191,8 +247,8 @@ int32_t pjt_decode_segments(
     int32_t seg_begin, int32_t seg_end,
     int32_t restart_interval, int32_t num_mcus, int32_t g,
     const int32_t* slot_comp,
-    const uint8_t* dc_sym, const uint8_t* dc_len,
-    const uint8_t* ac_sym, const uint8_t* ac_len,
+    const uint8_t* dc_counts, const uint8_t* dc_symbols,
+    const uint8_t* ac_counts, const uint8_t* ac_symbols,
     const int32_t* comp_dc_id, const int32_t* comp_ac_id,
     int16_t* out, int32_t* err_mcu) {
   if (g <= 0 || g > 10 || num_mcus < 0 || num_segs < 1) return ERR_BAD_ARGS;
@@ -201,17 +257,24 @@ int32_t pjt_decode_segments(
     return ERR_BAD_ARGS;
   }
 
-  Lut slot_dc[10];
-  Lut slot_ac[10];
+  HuffTable dc_tabs[4];
+  HuffTable ac_tabs[4];
+  for (int t = 0; t < 4; ++t) {
+    if (!build_table(dc_counts + t * 16, dc_symbols + t * 162, &dc_tabs[t]) ||
+        !build_table(ac_counts + t * 16, ac_symbols + t * 162, &ac_tabs[t])) {
+      return ERR_BAD_ARGS;
+    }
+  }
+
+  const HuffTable* slot_dc[10];
+  const HuffTable* slot_ac[10];
   int32_t slot_ci[10];
   for (int s = 0; s < g; ++s) {
     int32_t ci = slot_comp[s];
     if (ci < 0 || ci > 2) return ERR_BAD_ARGS;
     slot_ci[s] = ci;
-    slot_dc[s] = {dc_sym + comp_dc_id[ci] * 65536,
-                  dc_len + comp_dc_id[ci] * 65536};
-    slot_ac[s] = {ac_sym + comp_ac_id[ci] * 65536,
-                  ac_len + comp_ac_id[ci] * 65536};
+    slot_dc[s] = &dc_tabs[comp_dc_id[ci]];
+    slot_ac[s] = &ac_tabs[comp_ac_id[ci]];
   }
 
   const int64_t mcus_per_seg =
@@ -227,8 +290,8 @@ int32_t pjt_decode_segments(
     for (int64_t m = m_begin; m < m_end; ++m) {
       int16_t* mcu_out = out + m * g * 64;
       for (int s = 0; s < g; ++s) {
-        int32_t rc = decode_block(br, mcu_out + s * 64, slot_dc[s],
-                                  slot_ac[s], &dc_pred[slot_ci[s]]);
+        int32_t rc = decode_block(br, mcu_out + s * 64, *slot_dc[s],
+                                  *slot_ac[s], &dc_pred[slot_ci[s]]);
         if (rc != OK) {
           *err_mcu = static_cast<int32_t>(m);
           return rc;
@@ -245,8 +308,8 @@ int32_t pjt_decode_scan(
     const int64_t* seg_offsets, int32_t num_segs,
     int32_t restart_interval, int32_t num_mcus, int32_t g,
     const int32_t* slot_comp,
-    const uint8_t* dc_sym, const uint8_t* dc_len,
-    const uint8_t* ac_sym, const uint8_t* ac_len,
+    const uint8_t* dc_counts, const uint8_t* dc_symbols,
+    const uint8_t* ac_counts, const uint8_t* ac_symbols,
     const int32_t* comp_dc_id, const int32_t* comp_ac_id,
     int16_t* out, int32_t* err_mcu) {
   // The scan needs ceil(num_mcus / restart_interval) segments; tolerate
@@ -270,10 +333,11 @@ int32_t pjt_decode_scan(
   return pjt_decode_segments(
       data, data_len, seg_offsets, num_segs, 0, num_used,
       restart_interval, num_mcus, g, slot_comp,
-      dc_sym, dc_len, ac_sym, ac_len, comp_dc_id, comp_ac_id, out, err_mcu);
+      dc_counts, dc_symbols, ac_counts, ac_symbols, comp_dc_id, comp_ac_id,
+      out, err_mcu);
 }
 
 // ABI version tag so binding.py can invalidate stale cached builds.
-int32_t pjt_abi_version() { return 2; }
+int32_t pjt_abi_version() { return 3; }
 
 }  // extern "C"
