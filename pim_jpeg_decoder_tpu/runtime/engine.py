@@ -103,6 +103,19 @@ class DecodeEngine:
         self.max_images = cfg.max_images_per_batch
         self.keep_rgb = keep_rgb
 
+        # Shard MCU tiles across all local chips (the reference's
+        # DPU_ALLOCATE_ALL analogue, reference: src/decoder_host.cpp:32);
+        # single-chip hosts use the plain path.
+        import jax
+        n = cfg.num_devices or len(jax.devices())
+        self._mesh = None
+        if n > 1:
+            from pim_jpeg_decoder_tpu.parallel.mesh import make_mesh
+            self._mesh = make_mesh(n)
+            # Batches must split evenly across chips.
+            chunk = n * self.lane_tile
+            self.budget_mcus = -(-self.budget_mcus // chunk) * chunk
+
     # -- pipeline stages ------------------------------------------------------
 
     def _prepare(self, name: str, data: bytes, timers: StageTimers) -> PreparedImage:
@@ -116,6 +129,15 @@ class DecodeEngine:
         immediately; the device pipeline below overlaps execution + D2H of
         batch N with dispatch of batch N+1)."""
         with timers.stage("kernel"):
+            if self._mesh is not None and (
+                    batch.coeffs.shape[0]
+                    % (self._mesh.devices.size * self.lane_tile) == 0):
+                from pim_jpeg_decoder_tpu.parallel.sharding import (
+                    decode_mcus_sharded,
+                )
+                return decode_mcus_sharded(
+                    batch.coeffs, batch.qidx, batch.qpool, batch.mode,
+                    mesh=self._mesh, lane_tile=self.lane_tile)
             return decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
                                batch.mode, lane_tile=self.lane_tile)
 

@@ -162,3 +162,21 @@ class TestProfiler:
         assert "Profiles:" in report
         assert "TPU kernel execution time" in report
         assert "Decoded files: 2/2" in report
+
+
+class TestEngineSharding:
+    def test_engine_uses_mesh_when_multichip(self, photo_image):
+        """On the virtual 8-device mesh the engine shards batches and still
+        matches the oracle bit-exactly."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        engine = DecodeEngine(budget_mcus=1024, lane_tile=LANE_TILE,
+                              keep_rgb=True)
+        assert engine._mesh is not None
+        assert engine.budget_mcus % (engine._mesh.devices.size * LANE_TILE) == 0
+        report = engine.decode_named_blobs([("a", data)])
+        assert report.results[0].ok
+        np.testing.assert_array_equal(report.results[0].rgb,
+                                      decode_bytes_oracle(data).rgb)
