@@ -226,24 +226,51 @@ def _decode_one_scan(header: JpegHeader, scan: ScanData,
                     _ac_refine(st, block, ac_tables[i], ss, se, al)
 
 
-def decode_progressive(header: JpegHeader) -> np.ndarray:
+def decode_progressive(header: JpegHeader, use_native: bool = True) -> np.ndarray:
     """Decode all scans of a progressive JPEG.
 
     Returns coefficients ``[num_mcus, g, 64]`` int16 in natural order —
     identical transport layout to the baseline decoders, so everything
     downstream (fused kernel, oracle reconstruction) is shared.
+
+    Per-scan decode runs in C++ when available (``use_native``), with this
+    module's Python implementation as the semantic reference/fallback.
     """
     if not header.progressive:
         raise JpegError("decode_progressive requires a progressive frame")
 
-    # Zigzag-order coefficient planes, padded to the MCU grid.
-    planes = []
+    # Zigzag-order coefficient planes, padded to the MCU grid, in ONE flat
+    # buffer (the C++ path indexes it via per-component offsets; the Python
+    # path uses reshaped views of the same memory).
+    sizes = []
     for ci in range(header.ncomp):
         bwp, bhp = header.comp_blocks_padded(ci)
-        planes.append(np.zeros((bhp, bwp, 64), np.int32))
+        sizes.append((bhp, bwp))
+    comp_offset = np.zeros(3, np.int64)
+    total = 0
+    for ci, (bhp, bwp) in enumerate(sizes):
+        comp_offset[ci] = total * 64
+        total += bhp * bwp
+    buf = np.zeros(total * 64, np.int32)
+    planes = [
+        buf[int(comp_offset[ci]):int(comp_offset[ci]) + bhp * bwp * 64]
+        .reshape(bhp, bwp, 64)
+        for ci, (bhp, bwp) in enumerate(sizes)
+    ]
+
+    native = False
+    if use_native:
+        from pim_jpeg_decoder_tpu.native import native_available
+        native = native_available()
 
     for scan in header.scans:
-        _decode_one_scan(header, scan, planes)
+        if native:
+            from pim_jpeg_decoder_tpu.native.binding import (
+                decode_progressive_scan_cpp,
+            )
+            decode_progressive_scan_cpp(header, scan, buf, comp_offset)
+        else:
+            _decode_one_scan(header, scan, planes)
 
     # Assemble the MCU-group transport layout (de-zigzag here).
     slots = header.slot_components()

@@ -71,8 +71,9 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_build())
             lib.pjt_decode_scan.restype = ctypes.c_int32
             lib.pjt_decode_segments.restype = ctypes.c_int32
+            lib.pjt_decode_progressive_scan.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 3:
+            if lib.pjt_abi_version() != 4:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -201,3 +202,98 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1) -> np.ndarray:
         rc, err_mcu = fut.result()
         raise_on_error(rc, err_mcu)
     return out
+
+
+def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
+                                comp_offset: np.ndarray) -> None:
+    """Decode ONE progressive scan via C++ into the shared plane buffer.
+
+    ``planes`` is the concatenated zigzag-order coefficient planes
+    ([total_blocks, 64] int32); ``comp_offset`` the per-component start
+    offsets in int32 units.  Semantics match
+    codec/progressive._decode_one_scan (differentially tested).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native entropy decoder unavailable")
+
+    spec = scan.spec
+    ss, se = spec.start_of_selection, spec.end_of_selection
+    ah, al = spec.successive_high, spec.successive_low
+
+    interleaved = scan.interleaved or (
+        ss == 0 and len(scan.component_indices) == header.ncomp)
+
+    slot_scomp, slot_ci, slot_qv, slot_qh = [], [], [], []
+    if interleaved:
+        for i, ci in enumerate(scan.component_indices):
+            c = header.components[ci]
+            for qv in range(c.v):
+                for qh in range(c.h):
+                    slot_scomp.append(i)
+                    slot_ci.append(ci)
+                    slot_qv.append(qv)
+                    slot_qh.append(qh)
+        bw = bh = 0
+    else:
+        ci = scan.component_indices[0]
+        slot_scomp, slot_ci, slot_qv, slot_qh = [0], [ci], [0], [0]
+        bw, bh = header.comp_blocks(ci)
+
+    nc = len(scan.component_indices)
+    dc_counts = np.zeros((nc, 16), np.uint8)
+    dc_symbols = np.zeros((nc, 162), np.uint8)
+    ac_counts = np.zeros((nc, 16), np.uint8)
+    ac_symbols = np.zeros((nc, 162), np.uint8)
+    for i in range(nc):
+        if scan.dc_specs[i] is not None:
+            dc_counts[i] = scan.dc_specs[i].counts
+            dc_symbols[i, : scan.dc_specs[i].symbols.size] = scan.dc_specs[i].symbols
+        if scan.ac_specs[i] is not None:
+            ac_counts[i] = scan.ac_specs[i].counts
+            ac_symbols[i, : scan.ac_specs[i].symbols.size] = scan.ac_specs[i].symbols
+
+    comp_v = np.zeros(3, np.int32)
+    comp_h = np.zeros(3, np.int32)
+    comp_bwp = np.zeros(3, np.int32)
+    for ci, c in enumerate(header.components):
+        comp_v[ci] = c.v
+        comp_h[ci] = c.h
+        comp_bwp[ci] = header.comp_blocks_padded(ci)[0]
+
+    data = np.frombuffer(scan.entropy_bytes, np.uint8)
+    seg_offsets = np.asarray(scan.segment_offsets, np.int64)
+    err_unit = ctypes.c_int32(-1)
+
+    def ptr(arr, ctype):
+        return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+    def iarr(values):
+        return np.asarray(values, np.int32)
+
+    rc = lib.pjt_decode_progressive_scan(
+        ptr(data, ctypes.c_uint8), ctypes.c_int64(data.size),
+        ptr(seg_offsets, ctypes.c_int64), ctypes.c_int32(seg_offsets.size),
+        ctypes.c_int32(scan.restart_interval),
+        ctypes.c_int32(ss), ctypes.c_int32(se),
+        ctypes.c_int32(ah), ctypes.c_int32(al),
+        ctypes.c_int32(1 if interleaved else 0),
+        ctypes.c_int32(header.mcu_rows), ctypes.c_int32(header.mcu_cols),
+        ctypes.c_int32(len(slot_ci)),
+        ptr(iarr(slot_scomp), ctypes.c_int32),
+        ptr(iarr(slot_ci), ctypes.c_int32),
+        ptr(iarr(slot_qv), ctypes.c_int32),
+        ptr(iarr(slot_qh), ctypes.c_int32),
+        ptr(comp_v, ctypes.c_int32), ptr(comp_h, ctypes.c_int32),
+        ctypes.c_int32(bw), ctypes.c_int32(bh),
+        ctypes.c_int32(nc),
+        ptr(dc_counts, ctypes.c_uint8), ptr(dc_symbols, ctypes.c_uint8),
+        ptr(ac_counts, ctypes.c_uint8), ptr(ac_symbols, ctypes.c_uint8),
+        ptr(planes, ctypes.c_int32),
+        ptr(np.asarray(comp_offset, np.int64), ctypes.c_int64),
+        ptr(comp_bwp, ctypes.c_int32),
+        ctypes.byref(err_unit),
+    )
+    if rc != 0:
+        msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
+        raise JpegError(f"{msg} (unit {err_unit.value})")

@@ -215,9 +215,229 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
   return OK;
 }
 
+// --- Progressive (SOF2) scan decode ----------------------------------------
+// Port of codec/progressive.py (ITU-T T.81 G.2): DC first/refine, AC first
+// with EOB runs, AC refinement with correction bits.  Operates on
+// zigzag-order int32 coefficient planes; the Python layer owns plane
+// allocation, the scan loop, and final de-zigzag assembly.
+
+struct ProgState {
+  BitReader br;
+  int64_t eobrun;
+  int32_t preds[3];
+};
+
+inline int32_t dc_first(ProgState& st, int32_t* block, int ci,
+                        const HuffTable& dc, int al) {
+  int32_t t;
+  int32_t rc = decode_symbol(st.br, dc, &t);
+  if (rc != OK) return rc;
+  if (t > 11) return ERR_BAD_DC_SIZE;
+  int32_t diff = extend_signed(st.br.read_bits(t), t);
+  if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+  st.preds[ci] += diff;
+  block[0] = st.preds[ci] << al;
+  return OK;
+}
+
+inline int32_t dc_refine(ProgState& st, int32_t* block, int al) {
+  if (st.br.read_bits(1)) block[0] |= 1 << al;
+  if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+  return OK;
+}
+
+inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
+                        int ss, int se, int al) {
+  if (st.eobrun > 0) {
+    --st.eobrun;
+    return OK;
+  }
+  int k = ss;
+  while (k <= se) {
+    int32_t sym;
+    int32_t rc = decode_symbol(st.br, ac, &sym);
+    if (rc != OK) return rc;
+    int r = sym >> 4;
+    int s = sym & 0x0F;
+    if (s == 0) {
+      if (r != 15) {
+        st.eobrun = (1 << r) - 1;
+        if (r) st.eobrun += st.br.read_bits(r);
+        if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+        return OK;
+      }
+      k += 16;  // ZRL
+      continue;
+    }
+    k += r;
+    if (k > se) return ERR_AC_RANGE;
+    block[k] = extend_signed(st.br.read_bits(s), s) << al;
+    if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+    ++k;
+  }
+  return OK;
+}
+
+inline int32_t ac_refine(ProgState& st, int32_t* block, const HuffTable& ac,
+                         int ss, int se, int al) {
+  const int32_t p1 = 1 << al;
+  const int32_t m1 = -1 << al;
+  int k = ss;
+
+  if (st.eobrun == 0) {
+    while (k <= se) {
+      int32_t sym;
+      int32_t rc = decode_symbol(st.br, ac, &sym);
+      if (rc != OK) return rc;
+      int r = sym >> 4;
+      int s = sym & 0x0F;
+      int32_t newval = 0;
+      if (s == 0) {
+        if (r != 15) {
+          // EOB run INCLUDES this block (remaining nonzeros still take
+          // correction bits below; the tail decrements the run).
+          st.eobrun = 1 << r;
+          if (r) st.eobrun += st.br.read_bits(r);
+          if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+          break;
+        }
+        // ZRL: skip 16 zero-history positions.
+      } else {
+        if (s != 1) return ERR_BAD_AC_SYMBOL;
+        newval = st.br.read_bits(1) ? p1 : m1;
+      }
+      while (k <= se) {
+        if (block[k] != 0) {
+          if (st.br.read_bits(1) && (block[k] & p1) == 0) {
+            block[k] += block[k] >= 0 ? p1 : m1;
+          }
+        } else {
+          if (r == 0) break;
+          --r;
+        }
+        if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+        ++k;
+      }
+      if (newval && k <= se) block[k] = newval;
+      ++k;
+    }
+  }
+
+  if (st.eobrun > 0) {
+    while (k <= se) {
+      if (block[k] != 0) {
+        if (st.br.read_bits(1) && (block[k] & p1) == 0) {
+          block[k] += block[k] >= 0 ? p1 : m1;
+        }
+        if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+      }
+      ++k;
+    }
+    --st.eobrun;
+  }
+  return OK;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode ONE progressive scan into zigzag-order int32 coefficient planes.
+//
+//   planes                concatenated per-component planes, each
+//                         [bhp, bwp, 64] int32 (MCU-padded)
+//   comp_offset[3]        start offset (in int32 units) of each plane
+//   comp_bwp[3]           padded blocks-wide of each plane
+//   interleaved           1 = MCU walk over the padded grid (DC bands),
+//                         0 = raster over the single component's unpadded
+//                             block grid (bw x bh)
+//   slots: for interleaved walks, slot_ci/slot_qv/slot_qh arrays [g'];
+//          sampling v/h per component in comp_v/comp_h.
+//   Tables: per scan-component snapshot DHT definitions.
+//
+// Returns OK or a negative ErrorCode; *err_unit is the failing MCU/block.
+int32_t pjt_decode_progressive_scan(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* seg_offsets, int32_t num_segs, int32_t restart_interval,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    int32_t interleaved,
+    int32_t mcu_rows, int32_t mcu_cols,
+    int32_t nslots, const int32_t* slot_scomp, const int32_t* slot_ci,
+    const int32_t* slot_qv, const int32_t* slot_qh,
+    const int32_t* comp_v, const int32_t* comp_h,
+    int32_t bw, int32_t bh,            // non-interleaved block grid
+    int32_t nc,                        // scan component count
+    const uint8_t* dc_counts, const uint8_t* dc_symbols,   // [nc][16]/[162]
+    const uint8_t* ac_counts, const uint8_t* ac_symbols,
+    int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
+    int32_t* err_unit) {
+  if (nc < 1 || nc > 3 || nslots < 0 || nslots > 10) return ERR_BAD_ARGS;
+
+  HuffTable dc_tabs[3];
+  HuffTable ac_tabs[3];
+  for (int i = 0; i < nc; ++i) {
+    if (!build_table(dc_counts + i * 16, dc_symbols + i * 162, &dc_tabs[i]) ||
+        !build_table(ac_counts + i * 16, ac_symbols + i * 162, &ac_tabs[i])) {
+      return ERR_BAD_ARGS;
+    }
+  }
+
+  ProgState st{{data, data_len, 0, 0, 0, 0}, 0, {0, 0, 0}};
+  st.br.seek(num_segs > 0 ? seg_offsets[0] : 0);
+  int32_t seg = 0;
+
+  auto restart = [&](int64_t unit) -> int32_t {
+    if (restart_interval && unit && unit % restart_interval == 0) {
+      ++seg;
+      if (seg >= num_segs) return ERR_MISSING_SEGMENT;
+      st.br.seek(seg_offsets[seg]);
+      st.eobrun = 0;
+      st.preds[0] = st.preds[1] = st.preds[2] = 0;
+    }
+    return OK;
+  };
+
+  if (interleaved) {
+    const int64_t num_mcus = static_cast<int64_t>(mcu_rows) * mcu_cols;
+    for (int64_t m = 0; m < num_mcus; ++m) {
+      int32_t rc = restart(m);
+      if (rc != OK) { *err_unit = static_cast<int32_t>(m); return rc; }
+      const int64_t my = m / mcu_cols;
+      const int64_t mx = m % mcu_cols;
+      for (int s = 0; s < nslots; ++s) {
+        const int i = slot_scomp[s];
+        const int ci = slot_ci[s];
+        int32_t* block =
+            planes + comp_offset[ci] +
+            (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
+             (mx * comp_h[ci] + slot_qh[s])) * 64;
+        rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[i], al)
+                     : dc_refine(st, block, al);
+        if (rc != OK) { *err_unit = static_cast<int32_t>(m); return rc; }
+      }
+    }
+  } else {
+    const int ci = slot_ci[0];
+    const int64_t nblocks = static_cast<int64_t>(bw) * bh;
+    for (int64_t b = 0; b < nblocks; ++b) {
+      int32_t rc = restart(b);
+      if (rc != OK) { *err_unit = static_cast<int32_t>(b); return rc; }
+      const int64_t by = b / bw;
+      const int64_t bx = b % bw;
+      int32_t* block = planes + comp_offset[ci] +
+                       (by * comp_bwp[ci] + bx) * 64;
+      if (ss == 0) {
+        rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[0], al)
+                     : dc_refine(st, block, al);
+      } else {
+        rc = ah == 0 ? ac_first(st, block, ac_tabs[0], ss, se, al)
+                     : ac_refine(st, block, ac_tabs[0], ss, se, al);
+      }
+      if (rc != OK) { *err_unit = static_cast<int32_t>(b); return rc; }
+    }
+  }
+  return OK;
+}
 
 // Decode a RANGE of restart segments of one interleaved baseline scan.
 //
@@ -338,6 +558,6 @@ int32_t pjt_decode_scan(
 }
 
 // ABI version tag so binding.py can invalidate stale cached builds.
-int32_t pjt_abi_version() { return 3; }
+int32_t pjt_abi_version() { return 4; }
 
 }  // extern "C"

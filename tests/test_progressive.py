@@ -107,3 +107,50 @@ class TestProgressiveTransport:
         np.testing.assert_array_equal(report.results[0].rgb,
                                       decode_bytes_oracle(data).rgb)
         np.testing.assert_array_equal(report.results[0].rgb, pil_decode(data))
+
+
+class TestProgressiveNative:
+    """C++ progressive scan decode must match the Python reference exactly."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from pim_jpeg_decoder_tpu.native import native_available
+        if not native_available():
+            pytest.skip("native decoder unavailable")
+
+    @pytest.mark.parametrize("kw", [
+        dict(quality=85, subsampling=0),
+        dict(quality=75, subsampling=2),
+        dict(quality=90, subsampling=1),
+        dict(quality=85, subsampling=0, restart_marker_blocks=4),
+        dict(quality=80, subsampling=2, restart_marker_rows=1),
+    ])
+    def test_native_matches_python(self, photo_image, kw):
+        data = pil_progressive(photo_image, **kw)
+        header = scan_jpeg(data)
+        py = decode_progressive(header, use_native=False)
+        cpp = decode_progressive(header, use_native=True)
+        np.testing.assert_array_equal(py, cpp)
+
+    def test_native_matches_python_gray(self, photo_image):
+        gray = np.array(Image.fromarray(photo_image).convert("L"))
+        data = pil_progressive(gray, quality=85)
+        header = scan_jpeg(data)
+        np.testing.assert_array_equal(
+            decode_progressive(header, use_native=False),
+            decode_progressive(header, use_native=True))
+
+    def test_native_matches_python_noise(self, noise_image):
+        data = pil_progressive(noise_image, quality=95, subsampling=0)
+        header = scan_jpeg(data)
+        np.testing.assert_array_equal(
+            decode_progressive(header, use_native=False),
+            decode_progressive(header, use_native=True))
+
+    def test_truncated_raises(self, photo_image):
+        data = pil_progressive(photo_image, quality=85, subsampling=0)
+        header = scan_jpeg(data)
+        header.scans[1].entropy_bytes = header.scans[1].entropy_bytes[:4]
+        from pim_jpeg_decoder_tpu.codec.header import JpegError
+        with pytest.raises(JpegError):
+            decode_progressive(header, use_native=True)
