@@ -90,6 +90,31 @@ def bench_host_entropy(blobs) -> float:
     return mp / (time.monotonic() - t0)
 
 
+def bench_progressive(blobs) -> float:
+    """Host progressive (SOF2) decode throughput — capability beyond the
+    reference, so it gets its own number."""
+    import io
+
+    from PIL import Image
+
+    from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+
+    headers = []
+    for _, d in blobs[:12]:
+        img = Image.open(io.BytesIO(d)).convert("RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", progressive=True, quality=75,
+                 subsampling=2)
+        headers.append(scan_jpeg(buf.getvalue()))
+    t0 = time.monotonic()
+    mp = 0.0
+    for h in headers:
+        decode_progressive(h)
+        mp += h.width * h.height / 1e6
+    return mp / (time.monotonic() - t0)
+
+
 def bench_device_kernel() -> float:
     """Device-resident fused-pipeline throughput (the per-chip metric)."""
     import jax
@@ -154,6 +179,7 @@ def main() -> None:
     kernel_mps = bench_device_kernel()
     e2e_mps, _ = bench_e2e(blobs)
     entropy_mps = bench_host_entropy(blobs)
+    progressive_mps = bench_progressive(blobs)
     pil_mps = bench_pil(blobs)
     bit_exact = check_bit_exact(blobs)
 
@@ -165,6 +191,7 @@ def main() -> None:
         "e2e_mps": round(e2e_mps, 1),
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
+        "host_progressive_mps": round(progressive_mps, 1),
         "pil_single_thread_mps": round(pil_mps, 1),
         "bit_exact_vs_oracle": bit_exact,
         "corpus_images": len(blobs),

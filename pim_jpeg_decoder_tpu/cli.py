@@ -21,7 +21,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("files", nargs="+", help="JPEG files to decode")
     parser.add_argument("--batch-mcus", type=int, default=16384,
                         help="MCUs per device batch (static shape)")
-    parser.add_argument("--lane-tile", type=int, default=256,
+    parser.add_argument("--lane-tile", type=int, default=128,
                         help="kernel lanes per grid step")
     parser.add_argument("--prepare-threads", type=int, default=4,
                         help="host entropy-decode threads")
