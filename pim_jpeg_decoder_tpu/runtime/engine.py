@@ -251,11 +251,22 @@ class DecodeEngine:
 
     def decode_paths(self, paths: Sequence[str], write: bool = True,
                      sort: bool = True) -> EngineReport:
-        """Decode files, writing a BMP next to each input by default."""
-        if sort:
-            paths = sort_by_size(paths)
+        """Decode files, writing a BMP next to each input by default.
+
+        Unreadable files are recorded as failures and skipped, like every
+        other per-file error (reference: src/decoder_host.cpp:120-123).
+        """
         items = []
+        io_failures = []
         for p in paths:
-            with open(p, "rb") as f:
-                items.append((p, f.read()))
-        return self.decode_named_blobs(items, write=write)
+            try:
+                with open(p, "rb") as f:
+                    items.append((p, f.read()))
+            except OSError as e:
+                io_failures.append(FileResult(p, False, error=str(e)))
+        if sort:
+            by_size = {p: len(d) for p, d in items}
+            items.sort(key=lambda kv: (by_size[kv[0]], kv[0]))
+        report = self.decode_named_blobs(items, write=write)
+        report.results.extend(io_failures)
+        return report
