@@ -16,7 +16,7 @@ bucketing happens upstream); mixed-size corpora use
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -35,12 +35,11 @@ from pim_jpeg_decoder_tpu.models.pipeline import (
     output_path,
 )
 from pim_jpeg_decoder_tpu.ops import specs as S
-from pim_jpeg_decoder_tpu.ops.decode_kernel import LANE_TILE, decode_mcus
+from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus
 from pim_jpeg_decoder_tpu.runtime.batching import (
     Batch,
     ModeRouter,
     PreparedImage,
-    sort_by_size,
 )
 from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
 
