@@ -41,6 +41,7 @@ from pim_jpeg_decoder_tpu.runtime.batching import (
     ModeRouter,
     PreparedImage,
 )
+from pim_jpeg_decoder_tpu.utils.log import logger
 from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
 
 
@@ -196,6 +197,7 @@ class DecodeEngine:
                 try:
                     self._finish_batch(batch, dev, timers, write, results)
                 except Exception as e:  # record, don't kill the pipeline
+                    logger.error("device decode failed: %s", e)
                     for img, _ in batch.images:
                         results[img.name] = FileResult(
                             img.name, False, error=f"device decode failed: {e}")
@@ -226,6 +228,7 @@ class DecodeEngine:
                 try:
                     prepared = fut.result()
                 except Exception as e:
+                    logger.warning("skipping %s: %s", name, e)
                     results[name] = FileResult(name, False, error=str(e))
                     continue
                 # Oversized image: dedicated launch sized to the image.
@@ -262,6 +265,7 @@ class DecodeEngine:
                 with open(p, "rb") as f:
                     items.append((p, f.read()))
             except OSError as e:
+                logger.warning("cannot read %s: %s", p, e)
                 io_failures.append(FileResult(p, False, error=str(e)))
         if sort:
             by_size = {p: len(d) for p, d in items}
