@@ -124,6 +124,20 @@ class DecodeEngine:
             coeffs = entropy_decode(header)
             return PreparedImage(name, header, coeffs)
 
+    def _stage_batch(self, batch: Batch, timers: StageTimers) -> Batch:
+        """Start the H2D transfer asynchronously (producer side), so it
+        overlaps with the consumer's device execution of earlier batches —
+        the H2D half of the reference's copy/exec overlap
+        (reference: src/decoder_host.cpp:276-292)."""
+        import jax
+        if self._mesh is not None:
+            return batch  # sharded path places data itself
+        with timers.stage("h2d"):
+            batch.coeffs = jax.device_put(batch.coeffs)
+            batch.qidx = jax.device_put(batch.qidx)
+            batch.qpool = jax.device_put(batch.qpool)
+        return batch
+
     def _dispatch_batch(self, batch: Batch, timers: StageTimers):
         """Launch the fused kernel asynchronously (JAX dispatch returns
         immediately; the device pipeline below overlaps execution + D2H of
@@ -238,12 +252,12 @@ class DecodeEngine:
                         * self.lane_tile, max_images=1)
                     big.add(prepared)
                     for b in big.flush_all():
-                        batch_q.put(b)
+                        batch_q.put(self._stage_batch(b, timers))
                     continue
                 for b in router.add(prepared):
-                    batch_q.put(b)
+                    batch_q.put(self._stage_batch(b, timers))
         for b in router.flush_all():
-            batch_q.put(b)
+            batch_q.put(self._stage_batch(b, timers))
         batch_q.put(None)
         consumer_thread.join()
 
