@@ -134,9 +134,11 @@ def bench_device_kernel() -> float:
     qpool = jax.device_put(
         rng.integers(1, 64, (16, mode.g, 64)).astype(np.float32))
 
-    jax.block_until_ready(decode_mcus(bufs[0], qidx, qpool, mode))
+    # raw=True is the engine's production path: kernel-native output layout,
+    # no raster-transpose copy (host assembly absorbs the layout for free).
+    jax.block_until_ready(decode_mcus(bufs[0], qidx, qpool, mode, raw=True))
     t0 = time.monotonic()
-    outs = [decode_mcus(bufs[i % 8], qidx, qpool, mode)
+    outs = [decode_mcus(bufs[i % 8], qidx, qpool, mode, raw=True)
             for i in range(KERNEL_REPS)]
     jax.block_until_ready(outs)
     dt = (time.monotonic() - t0) / KERNEL_REPS

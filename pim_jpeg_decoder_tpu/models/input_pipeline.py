@@ -42,14 +42,16 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
                       lane_tile: int, interpret: bool, batch: int,
                       gh: int, gw: int, height: int, width: int):
-    slot_rgb = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
-                                lane_tile=lane_tile, interpret=interpret)
+    raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
+                           lane_tile=lane_tile, interpret=interpret,
+                           raw=True)
     v, h = mode.v, mode.h
     per_img = gh * gw
-    img = slot_rgb[: batch * per_img]
-    # [B*M, V*H, 64, 3] slot-major -> [B, gh*V*8, gw*H*8, 3] raster.
-    img = img.reshape(batch, gh, gw, v, h, 8, 8, 3)
-    img = img.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    # [3, V*H, 64, B*M] kernel-native -> [B, gh*V*8, gw*H*8, 3] raster
+    # (one fused relayout on device instead of two).
+    img = raw[..., : batch * per_img]
+    img = img.reshape(3, v, h, 8, 8, batch, gh, gw)
+    img = img.transpose(5, 6, 1, 3, 7, 2, 4, 0)
     img = img.reshape(batch, gh * v * 8, gw * h * 8, 3)
     return img[:, :height, :width, :]
 

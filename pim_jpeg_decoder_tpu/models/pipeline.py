@@ -77,6 +77,24 @@ def assemble_raster_slots(header: JpegHeader, slot_rgb: np.ndarray) -> np.ndarra
     return np.ascontiguousarray(img[: header.height, : header.width])
 
 
+def assemble_raster_raw(header: JpegHeader, raw_rgb: np.ndarray) -> np.ndarray:
+    """Kernel-native output ``[3, luma_slots, 64, num_mcus]`` -> ``[H, W, 3]``.
+
+    Same single vectorized pass as :func:`assemble_raster_slots`, consuming
+    the raw (transpose-free, ~4x faster on device) kernel layout.
+    """
+    mode = S.mode_for(header.mode_key)
+    gh, gw = header.mcu_rows, header.mcu_cols
+    v, h = mode.v, mode.h
+    img = (
+        raw_rgb[..., : gh * gw]
+        .reshape(3, v, h, 8, 8, gh, gw)
+        .transpose(5, 1, 3, 6, 2, 4, 0)
+        .reshape(gh * v * 8, gw * h * 8, 3)
+    )
+    return np.ascontiguousarray(img[: header.height, : header.width])
+
+
 @dataclasses.dataclass
 class DecodeResult:
     rgb: np.ndarray
@@ -106,9 +124,9 @@ class TpuJpegDecoder:
         qidx = np.zeros(m_pad, dtype=np.int32)
         qpool = build_qpool([header], mode)
 
-        slot_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
-                                          lane_tile=self.lane_tile))
-        return DecodeResult(assemble_raster_slots(header, slot_rgb), header)
+        raw_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                         lane_tile=self.lane_tile, raw=True))
+        return DecodeResult(assemble_raster_raw(header, raw_rgb), header)
 
     def decode_batch(self, blobs: Sequence[bytes]) -> List[DecodeResult]:
         return [self.decode(b) for b in blobs]

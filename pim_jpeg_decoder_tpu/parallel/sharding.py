@@ -30,14 +30,18 @@ from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_fn(mesh: Mesh, mode: S.ModeSpec, lane_tile: int, interpret: bool):
+def _sharded_fn(mesh: Mesh, mode: S.ModeSpec, lane_tile: int,
+                interpret: bool, raw: bool):
     impl = functools.partial(decode_mcus_impl, mode=mode,
-                             lane_tile=lane_tile, interpret=interpret)
+                             lane_tile=lane_tile, interpret=interpret,
+                             raw=raw)
+    # The MCU axis is the last dim of the raw layout, the first otherwise.
+    out_spec = P(None, None, None, MCU_AXIS) if raw else P(MCU_AXIS)
     shmapped = jax.shard_map(
         impl,
         mesh=mesh,
         in_specs=(P(MCU_AXIS), P(MCU_AXIS), P()),
-        out_specs=P(MCU_AXIS),
+        out_specs=out_spec,
         # pallas_call's out_shape carries no varying-mesh-axis metadata;
         # the decode is purely elementwise over the MCU axis (no
         # collectives), so the replication check is vacuous here.
@@ -53,10 +57,12 @@ def decode_mcus_sharded(
     mode: S.ModeSpec,
     mesh: Optional[Mesh] = None,
     lane_tile: int = LANE_TILE,
+    raw: bool = False,
 ) -> jax.Array:
     """Decode MCU tiles sharded across the mesh's chips.
 
-    Returns ``[M, luma_slots, 64, 3]`` uint8, sharded over the MCU axis.
+    Returns ``[M, luma_slots, 64, 3]`` uint8 (or the kernel-native
+    ``[3, luma_slots, 64, M]`` with ``raw=True``), sharded over the MCU axis.
     """
     ensure_compilation_cache()
     if mesh is None:
@@ -74,5 +80,5 @@ def decode_mcus_sharded(
     qpool = jax.device_put(
         jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
 
-    fn = _sharded_fn(mesh, mode, lane_tile, _interpret())
+    fn = _sharded_fn(mesh, mode, lane_tile, _interpret(), raw)
     return fn(coeffs, qidx, qpool)

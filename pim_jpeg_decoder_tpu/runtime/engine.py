@@ -30,7 +30,7 @@ import numpy as np
 from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
 from pim_jpeg_decoder_tpu.io.bmp import write_bmp
 from pim_jpeg_decoder_tpu.models.pipeline import (
-    assemble_raster_slots,
+    assemble_raster_raw,
     entropy_decode,
     output_path,
 )
@@ -151,18 +151,20 @@ class DecodeEngine:
                 )
                 return decode_mcus_sharded(
                     batch.coeffs, batch.qidx, batch.qpool, batch.mode,
-                    mesh=self._mesh, lane_tile=self.lane_tile)
+                    mesh=self._mesh, lane_tile=self.lane_tile, raw=True)
             return decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
-                               batch.mode, lane_tile=self.lane_tile)
+                               batch.mode, lane_tile=self.lane_tile,
+                               raw=True)
 
-    def _finish_batch(self, batch: Batch, slot_rgb_dev, timers: StageTimers,
+    def _finish_batch(self, batch: Batch, raw_rgb_dev, timers: StageTimers,
                       write: bool, results: Dict[str, FileResult]) -> None:
         with timers.stage("d2h"):
-            slot_rgb = np.asarray(slot_rgb_dev)
+            raw_rgb = np.asarray(raw_rgb_dev)   # [3, luma_slots, 64, budget]
         with timers.stage("write"):
             for img, off in batch.images:
                 n = img.header.num_mcus
-                rgb = assemble_raster_slots(img.header, slot_rgb[off:off + n])
+                rgb = assemble_raster_raw(img.header,
+                                          raw_rgb[..., off:off + n])
                 res = FileResult(
                     img.name, True,
                     megapixels=img.header.width * img.header.height / 1e6)

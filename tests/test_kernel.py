@@ -134,3 +134,45 @@ class TestPipelineEndToEnd:
             slot = ((y % 16) // 8) * 2 + ((x % 16) // 8)
             pix = (y % 8) * 8 + (x % 8)
             np.testing.assert_array_equal(img[y, x], slot_rgb[mcu, slot, pix])
+
+
+class TestRawLayout:
+    def test_raw_equals_default(self, photo_image):
+        """raw=True returns the same pixels in kernel-native layout."""
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        header = scan_jpeg(data)
+        coeffs = decode_scan(header)
+        mode = S.mode_for(header.mode_key)
+        m_pad = pad_mcus(header.num_mcus, LANE_TILE)
+        padded = np.zeros((m_pad, mode.g, 64), np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, np.int32)
+        qpool = build_qpool([header], mode)
+        default = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                         lane_tile=LANE_TILE))
+        raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                     lane_tile=LANE_TILE, raw=True))
+        assert raw.shape == (3, mode.luma_slots, 64, m_pad)
+        np.testing.assert_array_equal(raw.transpose(3, 1, 2, 0), default)
+
+    def test_assemble_raster_raw_matches_slots(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.pipeline import (
+            assemble_raster_raw,
+            assemble_raster_slots,
+        )
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        header = scan_jpeg(data)
+        coeffs = decode_scan(header)
+        mode = S.mode_for(header.mode_key)
+        m_pad = pad_mcus(header.num_mcus, LANE_TILE)
+        padded = np.zeros((m_pad, mode.g, 64), np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, np.int32)
+        qpool = build_qpool([header], mode)
+        slots = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                       lane_tile=LANE_TILE))
+        raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                     lane_tile=LANE_TILE, raw=True))
+        np.testing.assert_array_equal(
+            assemble_raster_raw(header, raw),
+            assemble_raster_slots(header, slots))
