@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 ILSVRC = "/root/reference/ILSVRC2012_val_00000001.JPEG"
 NUM_IMAGES = 48
 KERNEL_BATCH_MCUS = 16384
-KERNEL_REPS = 30
+KERNEL_REPS = 64
 
 
 def make_corpus() -> list:
@@ -116,32 +116,58 @@ def bench_progressive(blobs) -> float:
 
 
 def bench_device_kernel() -> float:
-    """Device-resident fused-pipeline throughput (the per-chip metric)."""
+    """Device-resident fused-pipeline throughput (the per-chip metric).
+
+    Timed with an on-device ``lax.fori_loop`` chaining N kernel launches —
+    each iteration uses a distinct quant pool and the loop carries a scalar
+    data dependency on each output, so nothing can be elided, cached, or
+    overlapped away.  Host-side per-launch timing is NOT trustworthy on this
+    rig: the remote-TPU tunnel acknowledges ``block_until_ready`` before
+    real execution completes and can serve repeated identical launches from
+    a result cache (observed: "1.3 TP/s", 8x over the HBM speed of light).
+    The reported time is (t_N2 - t_N1) / (N2 - N1): pure steady-state device
+    execution of the production kernel, no dispatch or transfer.
+    """
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from pim_jpeg_decoder_tpu.ops import specs as S
-    from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus
+    from pim_jpeg_decoder_tpu.ops.decode_kernel import (LANE_TILE,
+                                                        decode_mcus_impl)
 
     mode = S.mode_for((2, 2, 3))
     m = KERNEL_BATCH_MCUS
     rng = np.random.default_rng(0)
-    # Distinct coefficient buffers per launch so no level of the stack can
-    # reuse results — the honest steady-state number.
-    bufs = [jax.device_put(
-        rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
-        for _ in range(8)]
-    qidx = jax.device_put((np.arange(m) % 16).astype(np.int32))
-    qpool = jax.device_put(
-        rng.integers(1, 64, (16, mode.g, 64)).astype(np.float32))
 
-    # raw=True is the engine's production path: kernel-native output layout,
-    # no raster-transpose copy (host assembly absorbs the layout for free).
-    jax.block_until_ready(decode_mcus(bufs[0], qidx, qpool, mode, raw=True))
-    t0 = time.monotonic()
-    outs = [decode_mcus(bufs[i % 8], qidx, qpool, mode, raw=True)
-            for i in range(KERNEL_REPS)]
-    jax.block_until_ready(outs)
-    dt = (time.monotonic() - t0) / KERNEL_REPS
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(coeffs, qidx, qpools, n):
+        def body(i, acc):
+            out = decode_mcus_impl(
+                coeffs, qidx, qpools[i % qpools.shape[0]], mode=mode,
+                lane_tile=LANE_TILE, interpret=False, raw=True)
+            return (acc + out[0, 0, 0, 0].astype(jnp.int32)
+                    + out[2, -1, -1, -1].astype(jnp.int32))
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    coeffs = jax.device_put(
+        rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
+    qidx = jax.device_put((np.arange(m) % 16).astype(np.int32))
+    qpools = jax.device_put(
+        rng.integers(1, 64, (64, 16, mode.g, 64)).astype(np.float32))
+
+    n_lo, n_hi = 8, KERNEL_REPS
+    times = {}
+    for n in (n_lo, n_hi):
+        np.asarray(loop(coeffs, qidx, qpools, n))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            np.asarray(loop(coeffs, qidx, qpools, n))
+            best = min(best, time.monotonic() - t0)
+        times[n] = best
+    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
     mp_per_launch = m * mode.mcu_px_h * mode.mcu_px_w / 1e6
     return mp_per_launch / dt
 

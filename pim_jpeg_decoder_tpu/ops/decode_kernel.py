@@ -40,10 +40,11 @@ from pim_jpeg_decoder_tpu.ops import specs as S
 from pim_jpeg_decoder_tpu.ops.idct_math import idct_1d
 from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
-# Lanes (MCUs) per grid step.  128 MCUs x 6 slots x 64 coeffs x 2B = 96 KiB
-# of VMEM for the worst-case (4:2:0) input tile; measured fastest on v5e
-# (43.6 GP/s vs 29.4 at 256 — smaller tiles pipeline better).
-LANE_TILE = 128
+# Lanes (MCUs) per grid step.  512 MCUs x 6 slots x 64 coeffs x 2B = 384 KiB
+# of VMEM for the worst-case (4:2:0) input tile.  Measured fastest on v5e
+# with device-side loop timing (tunnel-immune): 159 us vs 211 us (tile 128)
+# per 16384-MCU 4:2:0 launch.
+LANE_TILE = 512
 
 # Maximum images whose quant tables can share one device batch.
 MAX_IMAGES_PER_BATCH = 16
@@ -87,10 +88,8 @@ def _color(y, cb, cr):
     return r, g, b
 
 
-def _store_channelwise(out_ref, s: int, t: int, rgb):
-    for ch, plane in enumerate(rgb):
-        out_ref[ch, s * 64:(s + 1) * 64, :] = (
-            jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(64, t))
+def _to_u8(plane, t: int):
+    return jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(64, t)
 
 
 def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
@@ -126,7 +125,8 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
             qv, qh = mode.luma_slot_pos(s)
             cb_s = _upsample(cb, qv, qh, mode.v, mode.h)
             cr_s = _upsample(cr, qv, qh, mode.v, mode.h)
-            _store_channelwise(out_ref, s, t, _color(spat[s], cb_s, cr_s))
+            for ch, plane in enumerate(_color(spat[s], cb_s, cr_s)):
+                out_ref[ch, s * 64:(s + 1) * 64, :] = _to_u8(plane, t)
 
     return kernel
 
@@ -144,16 +144,23 @@ def decode_mcus_impl(
     """Traceable (un-jitted) device decode — usable inside shard_map/jit.
 
     With ``raw=True`` returns the kernel-native channel-planar layout
-    ``[3, luma_slots, 64, M]`` and skips the raster-layout transpose — the
-    input transpose is a free layout bitcast, so the raw path touches HBM
-    exactly twice (coefficients in, RGB out; measured ~160 GP/s vs ~40 GP/s
-    with the transpose copy).  Host raster assembly absorbs the layout at
-    no extra cost, so the engine uses raw=True.
+    ``[3, luma_slots, 64, M]`` and skips the raster-layout transpose (a real
+    HBM copy), so the raw path touches HBM exactly twice (coefficients in,
+    RGB out).  Host raster assembly absorbs the layout at no extra cost, so
+    the engine uses raw=True.
     """
     m = coeffs.shape[0]
     q = qpool.shape[0]
     gy = mode.luma_slots
     assert m % lane_tile == 0, (m, lane_tile)
+
+    # Dtype coercion happens here, inside the traced function: it is free at
+    # dispatch time (part of the compiled program, a no-op for already-
+    # correct dtypes).  Host-side jnp.asarray per call costs ~26us of
+    # dispatch latency — enough to starve the ~14us device kernel.
+    coeffs = coeffs.astype(jnp.int16)
+    qidx = qidx.astype(jnp.int32)
+    qpool = qpool.astype(jnp.float32)
 
     x = jnp.transpose(coeffs, (1, 2, 0))          # [g, 64, M]
     qp = jnp.transpose(qpool, (1, 2, 0))          # [g, 64, Q]
@@ -175,12 +182,6 @@ def decode_mcus_impl(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, gy * 64, m), jnp.uint8),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            # ~94 multiplies + adds per 8-point pass, 16 passes per block.
-            flops=m * mode.g * 64 * 50,
-            bytes_accessed=m * mode.g * 64 * 2 + m * gy * 64 * 3,
-            transcendentals=0,
-        ),
     )(qidx2, x, qp)
 
     if raw:
@@ -214,10 +215,9 @@ def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
       with ``raw=True``.
     """
     ensure_compilation_cache()
-    qpool = jnp.asarray(qpool, jnp.float32)
     return _decode_mcus_jit(
-        jnp.asarray(coeffs, jnp.int16),
-        jnp.asarray(qidx, jnp.int32),
+        coeffs,
+        qidx,
         qpool,
         mode=mode,
         lane_tile=lane_tile,

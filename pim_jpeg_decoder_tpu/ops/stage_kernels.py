@@ -28,7 +28,7 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
     _color,
     _idct_block,
     _interpret,
-    _store_channelwise,
+    _to_u8,
     _upsample,
 )
 
@@ -73,7 +73,8 @@ def _color_kernel(mode: S.ModeSpec, lane_tile: int):
             qv, qh = mode.luma_slot_pos(s)
             cb_s = _upsample(cb, qv, qh, mode.v, mode.h)
             cr_s = _upsample(cr, qv, qh, mode.v, mode.h)
-            _store_channelwise(out_ref, s, t, _color(spat[s], cb_s, cr_s))
+            for ch, plane in enumerate(_color(spat[s], cb_s, cr_s)):
+                out_ref[ch, s * 64:(s + 1) * 64, :] = _to_u8(plane, t)
     return kernel
 
 

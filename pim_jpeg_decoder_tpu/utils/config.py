@@ -21,9 +21,9 @@ class EngineConfig:
     # MAX_MCU_PER_DPU x nr_dpus analogue).
     budget_mcus: int = 16384
     # Kernel grid tile: MCU lanes per Pallas grid step (the reference's
-    # NUM_TASKLETS analogue — intra-chip parallel granularity).  128 measured
-    # fastest on v5e.
-    lane_tile: int = 128
+    # NUM_TASKLETS analogue — intra-chip parallel granularity).  512 measured
+    # fastest on v5e with device-loop (tunnel-immune) timing.
+    lane_tile: int = 512
     # Host entropy-decode threads (the reference has exactly one preparer
     # thread; the C++ path releases the GIL so more scale).
     prepare_threads: int = 4
