@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 ILSVRC = "/root/reference/ILSVRC2012_val_00000001.JPEG"
 NUM_IMAGES = 48
 KERNEL_BATCH_MCUS = 16384
-KERNEL_REPS = 64
+KERNEL_REPS = 132
 
 
 def make_corpus() -> list:
@@ -142,14 +142,14 @@ def bench_device_kernel() -> float:
     rng = np.random.default_rng(0)
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(coeffs, qidx, qpools, n):
+    def loop(coeffs, qidx, qpools, seed, n):
         def body(i, acc):
             out = decode_mcus_impl(
-                coeffs, qidx, qpools[i % qpools.shape[0]], mode=mode,
-                lane_tile=LANE_TILE, interpret=False, raw=True)
+                coeffs, qidx, qpools[(i + seed) % qpools.shape[0]],
+                mode=mode, lane_tile=LANE_TILE, interpret=False, raw=True)
             return (acc + out[0, 0, 0, 0].astype(jnp.int32)
                     + out[2, -1, -1, -1].astype(jnp.int32))
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        return jax.lax.fori_loop(0, n, body, seed)
 
     coeffs = jax.device_put(
         rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
@@ -157,17 +157,29 @@ def bench_device_kernel() -> float:
     qpools = jax.device_put(
         rng.integers(1, 64, (64, 16, mode.g, 64)).astype(np.float32))
 
-    n_lo, n_hi = 8, KERNEL_REPS
-    times = {}
+    # Every timed call gets a UNIQUE seed argument: the tunnel runtime can
+    # serve a repeated (executable, args) pair from a result cache, which
+    # would make repeats of an identical loop call nearly free.
+    seed_box = [0]
+
+    def timed(n: int) -> float:
+        seed_box[0] += 1
+        t0 = time.monotonic()
+        np.asarray(loop(coeffs, qidx, qpools, jnp.int32(seed_box[0]), n))
+        return time.monotonic() - t0
+
+    import statistics
+    n_lo, n_hi = 4, KERNEL_REPS
     for n in (n_lo, n_hi):
-        np.asarray(loop(coeffs, qidx, qpools, n))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.monotonic()
-            np.asarray(loop(coeffs, qidx, qpools, n))
-            best = min(best, time.monotonic() - t0)
-        times[n] = best
-    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+        timed(n)  # compile + warm
+    # Paired adjacent samples cancel slow tunnel drift; median rejects
+    # hiccup outliers.
+    diffs = []
+    for _ in range(5):
+        a = timed(n_lo)
+        b = timed(n_hi)
+        diffs.append((b - a) / (n_hi - n_lo))
+    dt = statistics.median(diffs)
     mp_per_launch = m * mode.mcu_px_h * mode.mcu_px_w / 1e6
     return mp_per_launch / dt
 

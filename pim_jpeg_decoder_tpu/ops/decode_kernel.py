@@ -55,8 +55,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _idct_block(x32):
-    """[8, 8, T] int32 coefficients -> [8, 8, T] int32 samples (clamped).
+def _idct_pass1(x32):
+    """Pass 1 over vertical freqs: list over spatial row r of [u, T].
 
     Both passes slice the LEADING axis (contiguous sublane groups) with one
     explicit swapaxes between them: slicing the middle axis instead
@@ -64,11 +64,25 @@ def _idct_block(x32):
     2.4x slower for the whole fused kernel on v5e (184 -> 78 us per
     16K-MCU launch).
     """
-    cols = idct_1d([x32[u] for u in range(8)], S.CONST_BITS - S.PASS1_BITS)
-    y = jnp.swapaxes(jnp.stack(cols, axis=0), 0, 1)   # [freq u, spat row, T]
-    rows = idct_1d([y[v] for v in range(8)], S.CONST_BITS + S.PASS1_BITS + 3)
-    spat = jnp.swapaxes(jnp.stack(rows, axis=0), 0, 1)  # [row, col, T]
+    return idct_1d([x32[v] for v in range(8)], S.CONST_BITS - S.PASS1_BITS)
+
+
+def _idct_pass2(rows1):
+    """rows1: list over r of [u, T] -> list over spatial col p of [r, T]."""
+    y = jnp.swapaxes(jnp.stack(rows1, axis=0), 0, 1)  # [freq u, spat row, T]
+    return idct_1d([y[u] for u in range(8)],
+                   S.CONST_BITS + S.PASS1_BITS + 3)
+
+
+def _assemble(cols2):
+    """list over p of [r, T] -> [r, p, T], clamped to the sample range."""
+    spat = jnp.swapaxes(jnp.stack(cols2, axis=0), 0, 1)
     return jnp.clip(spat, S.SAMPLE_MIN, S.SAMPLE_MAX)
+
+
+def _idct_block(x32):
+    """[8, 8, T] int32 coefficients -> [8, 8, T] int32 samples (clamped)."""
+    return _assemble(_idct_pass2(_idct_pass1(x32)))
 
 
 def _upsample(chroma, qv: int, qh: int, v: int, h: int):
@@ -109,16 +123,17 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (num_images, t), 0)
                   == image_ids[None, :]).astype(jnp.float32)
 
-        # Dequantize + IDCT every slot once; keep spatial planes in VMEM.
-        spat = []
-        for s in range(mode.g):
+        # Dequantize every slot once; keep everything in VMEM.
+        def deq_slot(s):
             q = jax.lax.dot(
                 qpool_ref[s], onehot,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)                                      # [64, T]
             deq = coeff_ref[s].astype(jnp.int32) * q
             deq = jnp.clip(deq, -S.DEQUANT_CLAMP - 1, S.DEQUANT_CLAMP)
-            spat.append(_idct_block(deq.reshape(8, 8, t)))
+            return deq.reshape(8, 8, t)
+
+        spat = [_idct_block(deq_slot(s)) for s in range(mode.luma_slots)]
 
         if mode.ncomp == 1:
             y128 = jnp.clip(spat[0] + 128, 0, 255).astype(jnp.uint8)
@@ -127,11 +142,32 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
                 out_ref[ch, 0:64, :] = flat
             return
 
-        cb, cr = spat[mode.luma_slots], spat[mode.luma_slots + 1]
+        # Chroma with FUSED nearest-neighbor upsample: replication commutes
+        # with the per-row/per-col IDCT passes, so upsampling is free Python
+        # list selection — rows are duplicated between pass 1 and pass 2
+        # (one extra chroma pass 2 per distinct qv when v == 2), columns on
+        # the pass-2 output list.  This removes the broadcast/strided-gather
+        # upsample from the hot path entirely (reference does it per pixel,
+        # reference: src/decoder_dpu.c:338-355,370).
+        rh, rw = 8 // mode.v, 8 // mode.h
+        chroma_cols = {}
+        for ci in range(2):
+            rows1 = _idct_pass1(deq_slot(mode.luma_slots + ci))
+            for qv in range(mode.v):
+                sel = (rows1 if mode.v == 1 else
+                       [rows1[qv * rh + r // mode.v] for r in range(8)])
+                chroma_cols[ci, qv] = _idct_pass2(sel)
+
         for s in range(mode.luma_slots):
             qv, qh = mode.luma_slot_pos(s)
-            cb_s = _upsample(cb, qv, qh, mode.v, mode.h)
-            cr_s = _upsample(cr, qv, qh, mode.v, mode.h)
+
+            def chroma_slot(ci):
+                cols2 = chroma_cols[ci, qv]
+                if mode.h != 1:
+                    cols2 = [cols2[qh * rw + p // mode.h] for p in range(8)]
+                return _assemble(cols2)
+
+            cb_s, cr_s = chroma_slot(0), chroma_slot(1)
             for ch, plane in enumerate(_color(spat[s], cb_s, cr_s)):
                 out_ref[ch, s * 64:(s + 1) * 64, :] = _to_u8(plane, t)
 
