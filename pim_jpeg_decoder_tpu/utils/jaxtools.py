@@ -29,6 +29,11 @@ def ensure_compilation_cache() -> None:
             return
         try:
             import jax
+            if jax.default_backend() != "tpu":
+                # CPU AOT cache entries are machine-specific: reusing a blob
+                # compiled on a different host CPU risks SIGILL.  Only the
+                # (expensive, portable) TPU Mosaic compiles are cached.
+                return
             cache_dir = os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
                 os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
