@@ -110,7 +110,7 @@ def _color(y, cb, cr):
 
 
 def _to_u8(plane, t: int):
-    return jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(64, t)
+    return jnp.clip(plane.reshape(64, t), 0, 255).astype(jnp.uint8)
 
 
 def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):

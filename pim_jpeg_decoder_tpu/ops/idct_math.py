@@ -25,14 +25,19 @@ def idct_1d(x, shift: int):
     """
     in0, in1, in2, in3, in4, in5, in6, in7 = x
 
-    # Even part.
+    # Even part.  The descale rounding bias (2^(shift-1)) is folded into
+    # tmp0/tmp1 once instead of being added in each of the 8 descales:
+    # every output derives from exactly one of tmp10..tmp13, each of which
+    # carries the bias through tmp0/tmp1, so (x + bias + y) >> shift is
+    # bit-identical to descale(x + y, shift).
+    half = 1 << (shift - 1)
     z2 = in2
     z3 = in6
     z1 = (z2 + z3) * S.FIX_0_541196100
     tmp2 = z1 - z3 * S.FIX_1_847759065
     tmp3 = z1 + z2 * S.FIX_0_765366865
-    tmp0 = (in0 + in4) << S.CONST_BITS
-    tmp1 = (in0 - in4) << S.CONST_BITS
+    tmp0 = ((in0 + in4) << S.CONST_BITS) + half
+    tmp1 = ((in0 - in4) << S.CONST_BITS) + half
     tmp10 = tmp0 + tmp3
     tmp13 = tmp0 - tmp3
     tmp11 = tmp1 + tmp2
@@ -61,12 +66,12 @@ def idct_1d(x, shift: int):
     t3 = t3 + z1 + z4
 
     return (
-        S.descale(tmp10 + t3, shift),
-        S.descale(tmp11 + t2, shift),
-        S.descale(tmp12 + t1, shift),
-        S.descale(tmp13 + t0, shift),
-        S.descale(tmp13 - t0, shift),
-        S.descale(tmp12 - t1, shift),
-        S.descale(tmp11 - t2, shift),
-        S.descale(tmp10 - t3, shift),
+        (tmp10 + t3) >> shift,
+        (tmp11 + t2) >> shift,
+        (tmp12 + t1) >> shift,
+        (tmp13 + t0) >> shift,
+        (tmp13 - t0) >> shift,
+        (tmp12 - t1) >> shift,
+        (tmp11 - t2) >> shift,
+        (tmp10 - t3) >> shift,
     )
