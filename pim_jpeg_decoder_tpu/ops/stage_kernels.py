@@ -90,16 +90,13 @@ def _specs(mode, lane_tile, q=None):
     return ins
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "lane_tile", "interpret"))
-def dequantize_stage(coeffs, qidx, qpool, *, mode, lane_tile=LANE_TILE,
-                     interpret=None):
+def dequantize_stage_impl(coeffs, qidx, qpool, *, mode, lane_tile=LANE_TILE,
+                          interpret=False):
     """[M, g, 64] i16 raw -> [M, g, 64] i16 dequantized (clamped)."""
-    if interpret is None:
-        interpret = _interpret()
     m = coeffs.shape[0]
     q = qpool.shape[0]
-    x = jnp.transpose(jnp.asarray(coeffs, jnp.int16), (1, 2, 0))
-    qp = jnp.transpose(jnp.asarray(qpool, jnp.float32), (1, 2, 0))
+    x = jnp.transpose(coeffs.astype(jnp.int16), (1, 2, 0))
+    qp = jnp.transpose(qpool.astype(jnp.float32), (1, 2, 0))
     out = pl.pallas_call(
         _dequant_kernel(mode, lane_tile, q),
         grid=(m // lane_tile,),
@@ -108,17 +105,14 @@ def dequantize_stage(coeffs, qidx, qpool, *, mode, lane_tile=LANE_TILE,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mode.g, 64, m), jnp.int16),
         interpret=interpret,
-    )(jnp.asarray(qidx, jnp.int32)[None], x, qp)
+    )(qidx.astype(jnp.int32)[None], x, qp)
     return jnp.transpose(out, (2, 0, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "lane_tile", "interpret"))
-def idct_stage(deq, *, mode, lane_tile=LANE_TILE, interpret=None):
+def idct_stage_impl(deq, *, mode, lane_tile=LANE_TILE, interpret=False):
     """[M, g, 64] i16 dequantized -> [M, g, 64] i16 spatial samples."""
-    if interpret is None:
-        interpret = _interpret()
     m = deq.shape[0]
-    x = jnp.transpose(jnp.asarray(deq, jnp.int16), (1, 2, 0))
+    x = jnp.transpose(deq.astype(jnp.int16), (1, 2, 0))
     out = pl.pallas_call(
         _idct_kernel(mode, lane_tile),
         grid=(m // lane_tile,),
@@ -132,14 +126,11 @@ def idct_stage(deq, *, mode, lane_tile=LANE_TILE, interpret=None):
     return jnp.transpose(out, (2, 0, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "lane_tile", "interpret"))
-def color_stage(spat, *, mode, lane_tile=LANE_TILE, interpret=None):
+def color_stage_impl(spat, *, mode, lane_tile=LANE_TILE, interpret=False):
     """[M, g, 64] i16 spatial -> [M, luma_slots, 64, 3] u8 RGB."""
-    if interpret is None:
-        interpret = _interpret()
     m = spat.shape[0]
     gy = mode.luma_slots
-    x = jnp.transpose(jnp.asarray(spat, jnp.int16), (1, 2, 0))
+    x = jnp.transpose(spat.astype(jnp.int16), (1, 2, 0))
     out = pl.pallas_call(
         _color_kernel(mode, lane_tile),
         grid=(m // lane_tile,),
@@ -151,6 +142,23 @@ def color_stage(spat, *, mode, lane_tile=LANE_TILE, interpret=None):
         interpret=interpret,
     )(x)
     return jnp.transpose(out.reshape(3, gy, 64, m), (3, 1, 2, 0))
+
+
+def _jit_stage(impl):
+    jitted = jax.jit(impl, static_argnames=("mode", "lane_tile", "interpret"))
+
+    @functools.wraps(impl)
+    def call(*args, mode, lane_tile=LANE_TILE, interpret=None):
+        if interpret is None:
+            interpret = _interpret()
+        return jitted(*args, mode=mode, lane_tile=lane_tile,
+                      interpret=interpret)
+    return call
+
+
+dequantize_stage = _jit_stage(dequantize_stage_impl)
+idct_stage = _jit_stage(idct_stage_impl)
+color_stage = _jit_stage(color_stage_impl)
 
 
 def decode_mcus_staged(coeffs, qidx, qpool, mode, lane_tile=LANE_TILE):
