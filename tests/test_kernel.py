@@ -176,3 +176,45 @@ class TestRawLayout:
         np.testing.assert_array_equal(
             assemble_raster_raw(header, raw),
             assemble_raster_slots(header, slots))
+
+
+class TestKernelExtremeValues:
+    """Adversarial coefficients/quantizers: exercises DEQUANT_CLAMP, the
+    int32 wrap semantics inside the butterflies, and the sample clamp —
+    regions real images never reach, where kernel/oracle agreement is only
+    guaranteed by the shared spec (ops/specs.py)."""
+
+    @pytest.mark.parametrize("mode_key", sorted(S.MODES))
+    def test_extreme_matches_oracle(self, mode_key):
+        from pim_jpeg_decoder_tpu.oracle.color import (chroma_subblock,
+                                                       ycbcr_to_rgb)
+        from pim_jpeg_decoder_tpu.oracle.idct import dequantize, idct_blocks
+
+        mode = S.mode_for(mode_key)
+        rng = np.random.default_rng(hash(mode_key) % 2**31)
+        m = LANE_TILE
+        coeffs = rng.integers(-32768, 32768, (m, mode.g, 64)).astype(np.int16)
+        # A few all-extreme blocks on top of the uniform noise.
+        coeffs[0] = 32767
+        coeffs[1] = -32768
+        qpool = rng.integers(1, 65536, (4, mode.g, 64)).astype(np.float32)
+        qidx = (np.arange(m) % 4).astype(np.int32)
+
+        got = np.asarray(decode_mcus(coeffs, qidx, qpool, mode,
+                                     lane_tile=LANE_TILE))
+
+        deq = dequantize(coeffs, qpool[qidx].astype(np.uint32))
+        spat = idct_blocks(deq.reshape(m, mode.g, 8, 8))
+        if mode.ncomp == 1:
+            y = np.clip(spat[:, 0] + 128, 0, 255).astype(np.uint8)
+            want = np.repeat(y.reshape(m, 64, 1), 3, axis=2)
+            np.testing.assert_array_equal(got[:, 0], want)
+            return
+        for s in range(mode.luma_slots):
+            qv, qh = mode.luma_slot_pos(s)
+            cb = chroma_subblock(spat[:, mode.luma_slots], qv, qh,
+                                 mode.v, mode.h)
+            cr = chroma_subblock(spat[:, mode.luma_slots + 1], qv, qh,
+                                 mode.v, mode.h)
+            want = ycbcr_to_rgb(spat[:, s], cb, cr).reshape(m, 64, 3)
+            np.testing.assert_array_equal(got[:, s], want)
