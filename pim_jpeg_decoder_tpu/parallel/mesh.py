@@ -21,10 +21,16 @@ MCU_AXIS = "mcu"
 
 def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a 1-D mesh over ``num_devices`` chips (default: all local)."""
+    """Build a 1-D mesh over ``num_devices`` chips (default: all local).
+
+    Local devices only: in a multi-process (multi-host) run each process
+    shards MCU tiles over its OWN chips — images are whole-host-sharded
+    (parallel/multihost.py), so a process must never build a mesh spanning
+    other processes' devices from host data.
+    """
     import numpy as np
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     if num_devices is not None:
         if num_devices > len(devices):
             raise ValueError(

@@ -103,11 +103,13 @@ class DecodeEngine:
         self.max_images = cfg.max_images_per_batch
         self.keep_rgb = keep_rgb
 
-        # Shard MCU tiles across all local chips (the reference's
+        # Shard MCU tiles across all LOCAL chips (the reference's
         # DPU_ALLOCATE_ALL analogue, reference: src/decoder_host.cpp:32);
-        # single-chip hosts use the plain path.
+        # single-chip hosts use the plain path.  Local devices only: in a
+        # multi-host run images are whole-host-sharded, so each process
+        # drives just its own chips (jax.devices() would span processes).
         import jax
-        n = cfg.num_devices or len(jax.devices())
+        n = cfg.num_devices or len(jax.local_devices())
         self._mesh = None
         if n > 1:
             from pim_jpeg_decoder_tpu.parallel.mesh import make_mesh

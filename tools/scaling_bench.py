@@ -87,6 +87,9 @@ def main() -> None:
     report = engine.decode_named_blobs(shard)
     dt = time.monotonic() - t0
     local_mp = report.total_megapixels
+    if report.ok_count != len(shard):
+        errs = [(r.name, r.error) for r in report.results if not r.ok]
+        raise SystemExit(f"decode failures on shard: {errs[:4]}")
 
     if multi:
         import jax
