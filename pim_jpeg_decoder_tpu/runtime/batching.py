@@ -56,15 +56,30 @@ class Batch:
 
 
 class BatchPacker:
-    """Greedy first-fit packer for one sampling mode."""
+    """Greedy first-fit packer for one sampling mode.
+
+    A flushed batch is allocated at the smallest MCU bucket covering its
+    occupancy (``specs.MCU_BUCKETS``), not always the full budget: partial
+    tail launches would otherwise transfer and decode up to ~2x padding
+    (the reference has the same tail waste — DPUs always process all
+    MAX_MCU_PER_DPU MCUs, reference: src/decoder_dpu.c:130).  Buckets keep
+    the set of compiled kernel shapes small.
+    """
 
     def __init__(self, mode: S.ModeSpec, budget_mcus: int,
-                 max_images: int = MAX_IMAGES_PER_BATCH):
+                 max_images: int = MAX_IMAGES_PER_BATCH,
+                 lane_tile: int = 512):
         self.mode = mode
         self.budget = budget_mcus
         self.max_images = max_images
+        self.lane_tile = lane_tile
         self._images: List[Tuple[PreparedImage, int]] = []
         self._used = 0
+
+    def _alloc_size(self) -> int:
+        alloc = min(self.budget, S.bucket_mcus(self._used))
+        alloc = max(alloc, self._used, self.lane_tile)
+        return -(-alloc // self.lane_tile) * self.lane_tile
 
     def fits(self, image: PreparedImage) -> bool:
         return (self._used + image.header.num_mcus <= self.budget
@@ -83,8 +98,9 @@ class BatchPacker:
         if not self._images:
             return None
         mode = self.mode
-        coeffs = np.zeros((self.budget, mode.g, 64), np.int16)
-        qidx = np.zeros(self.budget, np.int32)
+        alloc = self._alloc_size()
+        coeffs = np.zeros((alloc, mode.g, 64), np.int16)
+        qidx = np.zeros(alloc, np.int32)
         qpool = np.zeros((self.max_images, mode.g, 64), np.float32)
         for i, (img, off) in enumerate(self._images):
             n = img.header.num_mcus
@@ -102,9 +118,11 @@ class ModeRouter:
     """Routes prepared images to per-mode packers; yields flushed batches."""
 
     def __init__(self, budget_mcus: int,
-                 max_images: int = MAX_IMAGES_PER_BATCH):
+                 max_images: int = MAX_IMAGES_PER_BATCH,
+                 lane_tile: int = 512):
         self.budget = budget_mcus
         self.max_images = max_images
+        self.lane_tile = lane_tile
         self._packers: Dict[Tuple[int, int, int], BatchPacker] = {}
 
     def add(self, image: PreparedImage) -> List[Batch]:
@@ -113,7 +131,8 @@ class ModeRouter:
         packer = self._packers.get(key)
         if packer is None:
             packer = self._packers[key] = BatchPacker(
-                mode, self.budget, self.max_images)
+                mode, self.budget, self.max_images,
+                lane_tile=self.lane_tile)
         flushed = packer.add(image)
         return [flushed] if flushed else []
 

@@ -204,7 +204,8 @@ class DecodeEngine:
         timers = StageTimers()
         results: Dict[str, FileResult] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
-        router = ModeRouter(self.budget_mcus, max_images=self.max_images)
+        router = ModeRouter(self.budget_mcus, max_images=self.max_images,
+                            lane_tile=self.lane_tile)
 
         def consumer() -> None:
             import collections
@@ -253,7 +254,8 @@ class DecodeEngine:
                 if prepared.header.num_mcus > self.budget_mcus:
                     big = ModeRouter(
                         -(-prepared.header.num_mcus // self.lane_tile)
-                        * self.lane_tile, max_images=1)
+                        * self.lane_tile, max_images=1,
+                        lane_tile=self.lane_tile)
                     big.add(prepared)
                     for b in big.flush_all():
                         batch_q.put(self._stage_batch(b, timers))

@@ -32,7 +32,7 @@ def prepared(img, name="img", **kw):
 class TestBatchPacker:
     def test_greedy_fill_and_flush(self, photo_image):
         mode = S.mode_for((2, 2, 3))
-        packer = BatchPacker(mode, budget_mcus=128)
+        packer = BatchPacker(mode, budget_mcus=128, lane_tile=128)
         img = prepared(photo_image, sampling="4:2:0")   # 80 MCUs
         assert packer.add(img) is None                   # fits
         flushed = packer.add(img)                        # 160 > 128 -> flush
@@ -41,6 +41,23 @@ class TestBatchPacker:
         assert flushed.coeffs.shape == (128, 6, 64)
         final = packer.flush()
         assert final is not None and len(final.images) == 1
+
+    def test_tail_batch_uses_smallest_bucket(self, photo_image):
+        """A partial tail launch allocates the smallest covering bucket,
+        not the full budget (transfer/decode waste)."""
+        mode = S.mode_for((2, 2, 3))
+        packer = BatchPacker(mode, budget_mcus=16384, lane_tile=512)
+        img = prepared(photo_image, sampling="4:2:0")   # 80 MCUs
+        packer.add(img)
+        batch = packer.flush()
+        assert batch.coeffs.shape[0] == 512              # not 16384
+        assert batch.coeffs.shape[0] % 512 == 0
+        # A fuller packer still allocates its bucket, capped at the budget.
+        packer2 = BatchPacker(mode, budget_mcus=1024, lane_tile=512)
+        for _ in range(12):                              # 960 MCUs
+            packer2.add(img)
+        b2 = packer2.flush()
+        assert b2.coeffs.shape[0] == 1024
 
     def test_qidx_and_qpool(self, photo_image, noise_image):
         mode = S.mode_for((2, 2, 3))
