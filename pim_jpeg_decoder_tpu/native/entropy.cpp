@@ -98,6 +98,16 @@ struct BitReader {
     return v;
   }
 
+  // Value bits taken immediately after decode_symbol need no refill: the
+  // lookup's fill() left cnt >= 33 and the symbol consumed <= 16 bits, so
+  // >= 17 bits remain — enough for any DC (<= 11) or AC (<= 15) magnitude.
+  inline uint32_t take_nofill(int32_t n) {
+    if (n == 0) return 0;
+    uint32_t v = static_cast<uint32_t>((buf >> (cnt - n)) & ((1u << n) - 1u));
+    cnt -= n;
+    return v;
+  }
+
   // True once decode has consumed bits that never existed in the stream.
   inline bool exhausted() const { return overrun * 8 > cnt; }
 };
@@ -187,7 +197,7 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
   int32_t rc = decode_symbol(br, dc, &t);
   if (rc != OK) return rc;
   if (t > 11) return ERR_BAD_DC_SIZE;
-  int32_t diff = extend_signed(br.read_bits(t), t);
+  int32_t diff = extend_signed(br.take_nofill(t), t);
   if (br.exhausted()) return ERR_OUT_OF_DATA;
   *dc_pred += diff;
   out[0] = static_cast<int16_t>(*dc_pred);
@@ -208,7 +218,7 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
     k += run;
     if (k > 63) return ERR_AC_RANGE;
     out[kZigzag[k]] =
-        static_cast<int16_t>(extend_signed(br.read_bits(size), size));
+        static_cast<int16_t>(extend_signed(br.take_nofill(size), size));
     if (br.exhausted()) return ERR_OUT_OF_DATA;
     ++k;
   }
