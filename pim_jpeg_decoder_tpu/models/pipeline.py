@@ -95,6 +95,45 @@ def assemble_raster_raw(header: JpegHeader, raw_rgb: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img[: header.height, : header.width])
 
 
+def assemble_raster_ycbcr(header: JpegHeader, planes: np.ndarray,
+                          mcu_off: int = 0) -> np.ndarray:
+    """Wire-optimal YCbCr kernel output ``[g, 64, m_total]`` -> ``[H, W, 3]``.
+
+    Finishes the decode on the host: nearest-neighbor chroma upsample +
+    fixed-point BT.601 with EXACTLY the integer spec of ops/specs.py, so the
+    result is bit-identical to the fused RGB kernel path.  Dispatches to the
+    C++ fast path (native/entropy.cpp:pjt_ycbcr_to_rgb) when available.
+    """
+    mode = S.mode_for(header.mode_key)
+    gh, gw = header.mcu_rows, header.mcu_cols
+
+    from pim_jpeg_decoder_tpu.native import native_available
+    if native_available():
+        from pim_jpeg_decoder_tpu.native.binding import ycbcr_to_rgb_cpp
+        return ycbcr_to_rgb_cpp(planes, mcu_off, mode.v, mode.h, mode.ncomp,
+                                gh, gw, header.height, header.width)
+
+    # NumPy fallback: same integer spec via the oracle color primitives.
+    m = gh * gw
+    stored = planes[:, :, mcu_off:mcu_off + m]              # [g, 64, m] u8
+    if mode.ncomp == 1:
+        y = stored[0].T                                     # [m, 64] u8
+        slots = np.repeat(y[:, None, :, None], 3, axis=3)   # [m, 1, 64, 3]
+        return assemble_raster_slots(header, slots)
+
+    from pim_jpeg_decoder_tpu.oracle.color import chroma_subblock, ycbcr_to_rgb
+    centered = stored.astype(np.int32) - 128                # spec sample range
+    ps = centered.transpose(2, 0, 1).reshape(m, mode.g, 8, 8)
+    gy = mode.luma_slots
+    slots = np.empty((m, gy, 64, 3), np.uint8)
+    for s in range(gy):
+        qv, qh = mode.luma_slot_pos(s)
+        cb = chroma_subblock(ps[:, gy], qv, qh, mode.v, mode.h)
+        cr = chroma_subblock(ps[:, gy + 1], qv, qh, mode.v, mode.h)
+        slots[:, s] = ycbcr_to_rgb(ps[:, s], cb, cr).reshape(m, 64, 3)
+    return assemble_raster_slots(header, slots)
+
+
 @dataclasses.dataclass
 class DecodeResult:
     rgb: np.ndarray

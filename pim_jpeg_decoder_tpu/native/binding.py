@@ -72,8 +72,9 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_decode_scan.restype = ctypes.c_int32
             lib.pjt_decode_segments.restype = ctypes.c_int32
             lib.pjt_decode_progressive_scan.restype = ctypes.c_int32
+            lib.pjt_ycbcr_to_rgb.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 4:
+            if lib.pjt_abi_version() != 5:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -297,3 +298,29 @@ def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
     if rc != 0:
         msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
         raise JpegError(f"{msg} (unit {err_unit.value})")
+
+
+def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,
+                     ncomp: int, mcu_rows: int, mcu_cols: int,
+                     height: int, width: int) -> np.ndarray:
+    """Fused upsample + BT.601 + raster from the device's YCbCr wire layout.
+
+    ``planes`` is the fetched kernel output ``[g, 64, m_total]`` uint8
+    (level-shifted, MCU axis minor); returns ``[height, width, 3]`` uint8,
+    bit-identical to the fused RGB kernel path (shared integer spec).
+    """
+    lib = load()
+    assert lib is not None
+    planes = np.ascontiguousarray(planes, np.uint8)
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.pjt_ycbcr_to_rgb(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(planes.shape[2]), ctypes.c_int64(mcu_off),
+        ctypes.c_int32(v), ctypes.c_int32(h), ctypes.c_int32(ncomp),
+        ctypes.c_int32(mcu_rows), ctypes.c_int32(mcu_cols),
+        ctypes.c_int32(height), ctypes.c_int32(width),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pjt_ycbcr_to_rgb failed: {rc}")
+    return out

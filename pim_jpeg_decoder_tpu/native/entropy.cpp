@@ -568,6 +568,81 @@ int32_t pjt_decode_scan(
 }
 
 // ABI version tag so binding.py can invalidate stale cached builds.
-int32_t pjt_abi_version() { return 4; }
+// --- YCbCr wire transport: fused upsample + BT.601 + raster ----------------
+// Consumes the device's wire-optimal output (level-shifted uint8 YCbCr
+// planes in the subsampled layout, [g, 64, m_total] with the MCU axis
+// minor) and produces the [height, width, 3] RGB raster.  Integer
+// arithmetic is EXACTLY ops/specs.py's BT.601 spec, so the result is
+// bit-identical to the fused RGB kernel path (tested).  Iteration is per
+// (slot, coefficient) so every inner-loop read is a contiguous MCU run.
+
+static const int32_t kFixCrR = 91881;    // specs.FIX_CR_R
+static const int32_t kFixCbG = -22554;   // specs.FIX_CB_G
+static const int32_t kFixCrG = -46802;   // specs.FIX_CR_G
+static const int32_t kFixCbB = 116130;   // specs.FIX_CB_B
+static const int32_t kColorBits = 16;
+static const int32_t kColorHalf = 1 << (kColorBits - 1);
+
+static inline uint8_t clamp255(int32_t x) {
+  return static_cast<uint8_t>(x < 0 ? 0 : (x > 255 ? 255 : x));
+}
+
+int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
+                         int64_t mcu_off, int32_t v, int32_t h,
+                         int32_t ncomp, int32_t mcu_rows, int32_t mcu_cols,
+                         int32_t height, int32_t width, uint8_t* out) {
+  const int gy = v * h;
+  for (int gr = 0; gr < mcu_rows; ++gr) {
+    for (int s = 0; s < gy; ++s) {
+      const int qv = s / h;
+      const int qh = s % h;
+      for (int cy = 0; cy < 8; ++cy) {
+        const int row = gr * v * 8 + qv * 8 + cy;
+        if (row >= height) continue;
+        uint8_t* orow = out + static_cast<int64_t>(row) * width * 3;
+        for (int cx = 0; cx < 8; ++cx) {
+          const int c = cy * 8 + cx;
+          const int64_t base = mcu_off + static_cast<int64_t>(gr) * mcu_cols;
+          const uint8_t* yb =
+              planes + static_cast<int64_t>(s * 64 + c) * m_total + base;
+          const int col0 = qh * 8 + cx;
+          if (ncomp == 1) {
+            for (int mcu = 0; mcu < mcu_cols; ++mcu) {
+              const int col = mcu * h * 8 + col0;
+              if (col >= width) break;
+              uint8_t* px = orow + static_cast<int64_t>(col) * 3;
+              px[0] = px[1] = px[2] = yb[mcu];
+            }
+            continue;
+          }
+          // Nearest-neighbor upsample: this luma sample's chroma source.
+          const int cc = ((qv * 8 + cy) / v) * 8 + (qh * 8 + cx) / h;
+          const uint8_t* cbb =
+              planes + static_cast<int64_t>(gy * 64 + cc) * m_total + base;
+          const uint8_t* crb =
+              planes + static_cast<int64_t>((gy + 1) * 64 + cc) * m_total +
+              base;
+          for (int mcu = 0; mcu < mcu_cols; ++mcu) {
+            const int col = mcu * h * 8 + col0;
+            if (col >= width) break;
+            const int32_t y128 = yb[mcu];
+            const int32_t cb = static_cast<int32_t>(cbb[mcu]) - 128;
+            const int32_t cr = static_cast<int32_t>(crb[mcu]) - 128;
+            uint8_t* px = orow + static_cast<int64_t>(col) * 3;
+            px[0] = clamp255(y128 + ((kFixCrR * cr + kColorHalf)
+                                     >> kColorBits));
+            px[1] = clamp255(y128 + ((kFixCbG * cb + kFixCrG * cr
+                                      + kColorHalf) >> kColorBits));
+            px[2] = clamp255(y128 + ((kFixCbB * cb + kColorHalf)
+                                     >> kColorBits));
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+int32_t pjt_abi_version() { return 5; }
 
 }  // extern "C"

@@ -174,6 +174,33 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
     return kernel
 
 
+def _make_kernel_ycbcr(mode: S.ModeSpec, lane_tile: int, num_images: int):
+    """Wire-optimal variant: dequant + IDCT only, emitting level-shifted
+    uint8 YCbCr planes in the SUBSAMPLED layout (one 64-byte plane per slot
+    per MCU).  For 4:2:0 that is 1.5 B/px on the wire vs 3 B/px RGB — the
+    host finishes upsample + BT.601 with the identical integer spec, so the
+    final RGB is bit-identical to the fused RGB kernel (tested).  D2H is
+    the deployment bottleneck (PCIe or tunnel), not the chip.
+    """
+
+    def kernel(qidx_ref, coeff_ref, qpool_ref, out_ref):
+        t = lane_tile
+        image_ids = qidx_ref[0, :]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (num_images, t), 0)
+                  == image_ids[None, :]).astype(jnp.float32)
+        for s in range(mode.g):
+            q = jax.lax.dot(
+                qpool_ref[s], onehot,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            deq = coeff_ref[s].astype(jnp.int32) * q
+            deq = jnp.clip(deq, -S.DEQUANT_CLAMP - 1, S.DEQUANT_CLAMP)
+            spat = _idct_block(deq.reshape(8, 8, t))   # clamped [-128, 127]
+            out_ref[s] = (spat.reshape(64, t) + 128).astype(jnp.uint8)
+
+    return kernel
+
+
 def decode_mcus_impl(
     coeffs: jax.Array,        # [M, g, 64] int16 raw coefficients
     qidx: jax.Array,          # [M] int32 image index per MCU
@@ -183,6 +210,7 @@ def decode_mcus_impl(
     lane_tile: int,
     interpret: bool,
     raw: bool = False,
+    ycbcr: bool = False,
 ) -> jax.Array:
     """Traceable (un-jitted) device decode — usable inside shard_map/jit.
 
@@ -210,17 +238,29 @@ def decode_mcus_impl(
     qidx2 = qidx[None, :]                         # [1, M]
 
     grid = (m // lane_tile,)
+    in_specs = [
+        pl.BlockSpec((1, lane_tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mode.g, 64, lane_tile), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mode.g, 64, q), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if ycbcr:
+        return pl.pallas_call(
+            _make_kernel_ycbcr(mode, lane_tile, q),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((mode.g, 64, lane_tile),
+                                   lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mode.g, 64, m), jnp.uint8),
+            interpret=interpret,
+        )(qidx2, x, qp)
     rgb = pl.pallas_call(
         _make_kernel(mode, lane_tile, q),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, lane_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mode.g, 64, lane_tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mode.g, 64, q), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, gy * 64, lane_tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, gy * 64, m), jnp.uint8),
@@ -236,11 +276,12 @@ def decode_mcus_impl(
 
 _decode_mcus_jit = jax.jit(
     decode_mcus_impl,
-    static_argnames=("mode", "lane_tile", "interpret", "raw"))
+    static_argnames=("mode", "lane_tile", "interpret", "raw", "ycbcr"))
 
 
 def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
-                lane_tile: int = LANE_TILE, raw: bool = False) -> jax.Array:
+                lane_tile: int = LANE_TILE, raw: bool = False,
+                ycbcr: bool = False) -> jax.Array:
     """Decode a batch of MCUs on device.
 
     Args:
@@ -252,10 +293,13 @@ def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
       mode: sampling mode (one kernel variant per mode).
       raw: return the kernel-native ``[3, luma_slots, 64, M]`` layout and
         skip the raster transpose (a real HBM copy; raw is ~4x faster).
+      ycbcr: return level-shifted uint8 YCbCr planes ``[g, 64, M]`` in the
+        subsampled layout (1.5 B/px for 4:2:0) for host-side upsample +
+        color — the wire-optimal transport when the result leaves the chip.
 
     Returns:
-      ``[M, luma_slots, 64, 3]`` uint8 RGB, or ``[3, luma_slots, 64, M]``
-      with ``raw=True``.
+      ``[M, luma_slots, 64, 3]`` uint8 RGB, ``[3, luma_slots, 64, M]``
+      with ``raw=True``, or ``[g, 64, M]`` with ``ycbcr=True``.
     """
     ensure_compilation_cache()
     return _decode_mcus_jit(
@@ -266,6 +310,7 @@ def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
         lane_tile=lane_tile,
         interpret=_interpret(),
         raw=raw,
+        ycbcr=ycbcr,
     )
 
 

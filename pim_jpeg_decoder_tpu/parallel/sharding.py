@@ -31,12 +31,16 @@ from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, mode: S.ModeSpec, lane_tile: int,
-                interpret: bool, raw: bool):
+                interpret: bool, raw: bool, ycbcr: bool = False):
     impl = functools.partial(decode_mcus_impl, mode=mode,
                              lane_tile=lane_tile, interpret=interpret,
-                             raw=raw)
-    # The MCU axis is the last dim of the raw layout, the first otherwise.
-    out_spec = P(None, None, None, MCU_AXIS) if raw else P(MCU_AXIS)
+                             raw=raw, ycbcr=ycbcr)
+    # The MCU axis is the last dim of the raw and ycbcr layouts, the first
+    # otherwise.
+    if ycbcr:
+        out_spec = P(None, None, MCU_AXIS)
+    else:
+        out_spec = P(None, None, None, MCU_AXIS) if raw else P(MCU_AXIS)
     shmapped = jax.shard_map(
         impl,
         mesh=mesh,
@@ -58,11 +62,13 @@ def decode_mcus_sharded(
     mesh: Optional[Mesh] = None,
     lane_tile: int = LANE_TILE,
     raw: bool = False,
+    ycbcr: bool = False,
 ) -> jax.Array:
     """Decode MCU tiles sharded across the mesh's chips.
 
-    Returns ``[M, luma_slots, 64, 3]`` uint8 (or the kernel-native
-    ``[3, luma_slots, 64, M]`` with ``raw=True``), sharded over the MCU axis.
+    Returns ``[M, luma_slots, 64, 3]`` uint8 (the kernel-native
+    ``[3, luma_slots, 64, M]`` with ``raw=True``, or ``[g, 64, M]`` YCbCr
+    wire planes with ``ycbcr=True``), sharded over the MCU axis.
     """
     ensure_compilation_cache()
     if mesh is None:
@@ -80,5 +86,5 @@ def decode_mcus_sharded(
     qpool = jax.device_put(
         jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
 
-    fn = _sharded_fn(mesh, mode, lane_tile, _interpret(), raw)
+    fn = _sharded_fn(mesh, mode, lane_tile, _interpret(), raw, ycbcr)
     return fn(coeffs, qidx, qpool)

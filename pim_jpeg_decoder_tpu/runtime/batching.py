@@ -53,6 +53,7 @@ class Batch:
     qidx: np.ndarray            # [budget] int32
     qpool: np.ndarray           # [Q, g, 64] float32
     images: List[Tuple[PreparedImage, int]]   # (image, mcu_offset)
+    transport: str = "rgb"      # set at dispatch: "rgb" | "ycbcr"
 
 
 class BatchPacker:

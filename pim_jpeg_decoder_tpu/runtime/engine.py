@@ -31,6 +31,7 @@ from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
 from pim_jpeg_decoder_tpu.io.bmp import write_bmp
 from pim_jpeg_decoder_tpu.models.pipeline import (
     assemble_raster_raw,
+    assemble_raster_ycbcr,
     entropy_decode,
     output_path,
 )
@@ -101,6 +102,7 @@ class DecodeEngine:
         self.lane_tile = cfg.lane_tile
         self.prepare_threads = cfg.prepare_threads
         self.max_images = cfg.max_images_per_batch
+        self.transport = cfg.transport
         self.keep_rgb = keep_rgb
 
         # Shard MCU tiles across all LOCAL chips (the reference's
@@ -140,10 +142,21 @@ class DecodeEngine:
             batch.qpool = jax.device_put(batch.qpool)
         return batch
 
+    def _use_ycbcr(self, mode: S.ModeSpec) -> bool:
+        """YCbCr wire transport whenever it reduces D2H bytes (all modes
+        except 4:4:4, where the plane counts are equal)."""
+        if self.transport == "rgb":
+            return False
+        if self.transport == "ycbcr":
+            return True
+        return mode.g < 3 * mode.luma_slots
+
     def _dispatch_batch(self, batch: Batch, timers: StageTimers):
         """Launch the fused kernel asynchronously (JAX dispatch returns
         immediately; the device pipeline below overlaps execution + D2H of
         batch N with dispatch of batch N+1)."""
+        ycbcr = self._use_ycbcr(batch.mode)
+        batch.transport = "ycbcr" if ycbcr else "rgb"
         with timers.stage("kernel"):
             if self._mesh is not None and (
                     batch.coeffs.shape[0]
@@ -153,20 +166,26 @@ class DecodeEngine:
                 )
                 return decode_mcus_sharded(
                     batch.coeffs, batch.qidx, batch.qpool, batch.mode,
-                    mesh=self._mesh, lane_tile=self.lane_tile, raw=True)
+                    mesh=self._mesh, lane_tile=self.lane_tile,
+                    raw=not ycbcr, ycbcr=ycbcr)
             return decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
                                batch.mode, lane_tile=self.lane_tile,
-                               raw=True)
+                               raw=not ycbcr, ycbcr=ycbcr)
 
     def _finish_batch(self, batch: Batch, raw_rgb_dev, timers: StageTimers,
                       write: bool, results: Dict[str, FileResult]) -> None:
+        ycbcr = batch.transport == "ycbcr"
         with timers.stage("d2h"):
-            raw_rgb = np.asarray(raw_rgb_dev)   # [3, luma_slots, 64, budget]
+            # [g, 64, budget] YCbCr planes or [3, luma_slots, 64, budget] RGB
+            raw = np.asarray(raw_rgb_dev)
         with timers.stage("write"):
             for img, off in batch.images:
                 n = img.header.num_mcus
-                rgb = assemble_raster_raw(img.header,
-                                          raw_rgb[..., off:off + n])
+                if ycbcr:
+                    rgb = assemble_raster_ycbcr(img.header, raw, mcu_off=off)
+                else:
+                    rgb = assemble_raster_raw(img.header,
+                                              raw[..., off:off + n])
                 res = FileResult(
                     img.name, True,
                     megapixels=img.header.width * img.header.height / 1e6)

@@ -31,6 +31,12 @@ class EngineConfig:
     max_images_per_batch: int = 16
     # Mesh: number of chips to shard MCU tiles across (None = all local).
     num_devices: Optional[int] = None
+    # Device->host output transport: "rgb" fetches decoded RGB (3 B/px);
+    # "ycbcr" fetches level-shifted subsampled YCbCr planes (1.5 B/px for
+    # 4:2:0) and finishes upsample+color on the host (bit-identical, C++
+    # fast path); "auto" picks ycbcr whenever it reduces wire bytes
+    # (every mode except 4:4:4).  D2H is the deployment bottleneck.
+    transport: str = "auto"
 
     @classmethod
     def from_env(cls, **overrides) -> "EngineConfig":
@@ -41,6 +47,7 @@ class EngineConfig:
             "PIM_JPEG_TPU_PREPARE_THREADS": ("prepare_threads", int),
             "PIM_JPEG_TPU_MAX_IMAGES": ("max_images_per_batch", int),
             "PIM_JPEG_TPU_NUM_DEVICES": ("num_devices", int),
+            "PIM_JPEG_TPU_TRANSPORT": ("transport", str),
         }
         for env, (field, conv) in mapping.items():
             if env in os.environ:
@@ -63,3 +70,6 @@ class EngineConfig:
             raise ValueError("prepare_threads must be >= 1")
         if self.max_images_per_batch < 1:
             raise ValueError("max_images_per_batch must be >= 1")
+        if self.transport not in ("auto", "rgb", "ycbcr"):
+            raise ValueError(
+                f"transport must be auto/rgb/ycbcr, got {self.transport!r}")

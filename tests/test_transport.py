@@ -1,0 +1,100 @@
+"""YCbCr wire-transport tests: bit-identical RGB via half the D2H bytes.
+
+The ycbcr kernel emits level-shifted subsampled planes; host-side
+upsample + BT.601 (C++ fast path and NumPy fallback) must reproduce the
+fused RGB kernel's output exactly for every sampling mode.
+"""
+
+import numpy as np
+import pytest
+
+from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
+from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+from pim_jpeg_decoder_tpu.models.pipeline import (
+    assemble_raster_raw,
+    assemble_raster_ycbcr,
+    build_qpool,
+)
+from pim_jpeg_decoder_tpu.ops import specs as S
+from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus, pad_mcus
+from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+LANE_TILE = 128
+
+SAMPLINGS = [("4:4:4", False), ("4:2:2", False), ("4:4:0", False),
+             ("4:2:0", False), ("gray", True)]
+
+
+def decode_both_ways(img, sampling, grayscale):
+    data = encode_jpeg(img, quality=85,
+                       sampling="4:4:4" if grayscale else sampling,
+                       grayscale=grayscale)
+    header = scan_jpeg(data)
+    coeffs = decode_scan(header)
+    mode = S.mode_for(header.mode_key)
+    m_pad = pad_mcus(header.num_mcus, LANE_TILE)
+    padded = np.zeros((m_pad, mode.g, 64), np.int16)
+    padded[: header.num_mcus] = coeffs
+    qidx = np.zeros(m_pad, np.int32)
+    qpool = build_qpool([header], mode)
+
+    raw_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                     lane_tile=LANE_TILE, raw=True))
+    want = assemble_raster_raw(header, raw_rgb)
+
+    planes = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                    lane_tile=LANE_TILE, ycbcr=True))
+    assert planes.shape == (mode.g, 64, m_pad)
+    got = assemble_raster_ycbcr(header, planes)
+    return got, want
+
+
+class TestYcbcrTransport:
+    @pytest.mark.parametrize("sampling,grayscale", SAMPLINGS)
+    def test_bit_identical_to_rgb_path(self, photo_image, sampling,
+                                       grayscale):
+        got, want = decode_both_ways(photo_image, sampling, grayscale)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("sampling,grayscale", [("4:2:0", False),
+                                                    ("gray", True)])
+    def test_numpy_fallback_matches(self, photo_image, monkeypatch,
+                                    sampling, grayscale):
+        monkeypatch.setenv("PIM_JPEG_TPU_NO_NATIVE", "1")
+        got, want = decode_both_ways(photo_image, sampling, grayscale)
+        np.testing.assert_array_equal(got, want)
+
+    def test_odd_dimensions(self, rng):
+        """Partial right/bottom MCUs crop correctly through the converter."""
+        img = rng.integers(0, 256, (37, 43, 3), np.uint8)
+        got, want = decode_both_ways(img, "4:2:0", False)
+        assert got.shape == (37, 43, 3)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestEngineTransport:
+    @pytest.mark.parametrize("transport", ["rgb", "ycbcr", "auto"])
+    def test_engine_outputs_identical(self, photo_image, transport):
+        from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+
+        blobs = [
+            ("a", encode_jpeg(photo_image, quality=85, sampling="4:2:0")),
+            ("b", encode_jpeg(photo_image, quality=60, sampling="4:4:4")),
+            ("g", encode_jpeg(photo_image, quality=85, grayscale=True)),
+        ]
+        cfg = EngineConfig(budget_mcus=1024, lane_tile=128,
+                           prepare_threads=2, transport=transport)
+        engine = DecodeEngine(keep_rgb=True, config=cfg)
+        report = engine.decode_named_blobs(blobs)
+        assert report.ok_count == 3, [r.error for r in report.results]
+
+        from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+        for (name, data), res in zip(blobs, report.results):
+            np.testing.assert_array_equal(
+                res.rgb, decode_bytes_oracle(data).rgb,
+                err_msg=f"{transport}:{name}")
+
+    def test_config_rejects_bad_transport(self):
+        with pytest.raises(ValueError):
+            EngineConfig(transport="bogus").validate()
