@@ -42,6 +42,7 @@ class PreparedImage:
     name: str
     header: JpegHeader
     coeffs: np.ndarray          # [num_mcus, g, 64] int16
+    uid: int = -1               # engine-assigned input index (names may repeat)
 
 
 @dataclasses.dataclass

@@ -122,11 +122,12 @@ class DecodeEngine:
 
     # -- pipeline stages ------------------------------------------------------
 
-    def _prepare(self, name: str, data: bytes, timers: StageTimers) -> PreparedImage:
+    def _prepare(self, name: str, data: bytes, uid: int,
+                 timers: StageTimers) -> PreparedImage:
         with timers.stage("prepare"):
             header = scan_jpeg(data)
             coeffs = entropy_decode(header)
-            return PreparedImage(name, header, coeffs)
+            return PreparedImage(name, header, coeffs, uid=uid)
 
     def _stage_batch(self, batch: Batch, timers: StageTimers) -> Batch:
         """Start the H2D transfer asynchronously (producer side), so it
@@ -194,7 +195,7 @@ class DecodeEngine:
                     write_bmp(res.out_path, rgb)
                 if self.keep_rgb:
                     res.rgb = rgb
-                results[img.name] = res
+                results[img.uid] = res
 
     # -- public API -----------------------------------------------------------
 
@@ -237,7 +238,7 @@ class DecodeEngine:
                 except Exception as e:  # record, don't kill the pipeline
                     logger.error("device decode failed: %s", e)
                     for img, _ in batch.images:
-                        results[img.name] = FileResult(
+                        results[img.uid] = FileResult(
                             img.name, False, error=f"device decode failed: {e}")
 
             while True:
@@ -249,7 +250,7 @@ class DecodeEngine:
                     pending.append((batch, self._dispatch_batch(batch, timers)))
                 except Exception as e:
                     for img, _ in batch.images:
-                        results[img.name] = FileResult(
+                        results[img.uid] = FileResult(
                             img.name, False, error=f"device decode failed: {e}")
                 if len(pending) >= 2:
                     drain_one()
@@ -260,21 +261,25 @@ class DecodeEngine:
         consumer_thread.start()
 
         with ThreadPoolExecutor(self.prepare_threads) as pool:
-            futures = [(name, pool.submit(self._prepare, name, data, timers))
-                       for name, data in items]
-            for name, fut in futures:
+            futures = [(i, name, pool.submit(self._prepare, name, data, i,
+                                             timers))
+                       for i, (name, data) in enumerate(items)]
+            for uid, name, fut in futures:
                 try:
                     prepared = fut.result()
                 except Exception as e:
                     logger.warning("skipping %s: %s", name, e)
-                    results[name] = FileResult(name, False, error=str(e))
+                    results[uid] = FileResult(name, False, error=str(e))
                     continue
-                # Oversized image: dedicated launch sized to the image.
+                # Oversized image: dedicated launch, bucket-aligned so the
+                # set of compiled kernel shapes stays bounded.
                 if prepared.header.num_mcus > self.budget_mcus:
-                    big = ModeRouter(
-                        -(-prepared.header.num_mcus // self.lane_tile)
-                        * self.lane_tile, max_images=1,
-                        lane_tile=self.lane_tile)
+                    n = prepared.header.num_mcus
+                    big_budget = (S.bucket_mcus(n) if n <= S.MCU_BUCKETS[-1]
+                                  else -(-n // self.lane_tile)
+                                  * self.lane_tile)
+                    big = ModeRouter(big_budget, max_images=1,
+                                     lane_tile=self.lane_tile)
                     big.add(prepared)
                     for b in big.flush_all():
                         batch_q.put(self._stage_batch(b, timers))
@@ -286,8 +291,8 @@ class DecodeEngine:
         batch_q.put(None)
         consumer_thread.join()
 
-        ordered = [results.get(name, FileResult(name, False, error="missing"))
-                   for name, _ in items]
+        ordered = [results.get(i, FileResult(name, False, error="missing"))
+                   for i, (name, _) in enumerate(items)]
         return EngineReport(ordered, timers)
 
     def decode_paths(self, paths: Sequence[str], write: bool = True,

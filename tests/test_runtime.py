@@ -197,3 +197,17 @@ class TestEngineSharding:
         assert report.results[0].ok
         np.testing.assert_array_equal(report.results[0].rgb,
                                       decode_bytes_oracle(data).rgb)
+
+
+def test_duplicate_input_names(photo_image):
+    """The same name twice must yield two independent results (results are
+    keyed by input index, not name)."""
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+
+    data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+    engine = DecodeEngine(budget_mcus=1024, lane_tile=128, keep_rgb=True)
+    report = engine.decode_named_blobs([("same", data), ("same", data)])
+    assert report.ok_count == 2
+    assert len(report.results) == 2
+    np.testing.assert_array_equal(report.results[0].rgb,
+                                  report.results[1].rgb)
