@@ -51,6 +51,28 @@ class TestShardedDecode:
             padded, qidx, qpool, mode, lane_tile=LANE_TILE))
         np.testing.assert_array_equal(sharded, single)
 
+    def test_ycbcr_transport_matches(self, photo_image, eight_device_mesh):
+        """Sharded YCbCr wire planes equal the single-device ones."""
+        data = encode_jpeg(photo_image, quality=88, sampling="4:2:0")
+        header = scan_jpeg(data)
+        coeffs = decode_scan(header)
+        mode = S.mode_for(header.mode_key)
+
+        n = 8 * LANE_TILE
+        m_pad = -(-header.num_mcus // n) * n
+        padded = np.zeros((m_pad, mode.g, 64), np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, np.int32)
+        qpool = build_qpool([header], mode)
+
+        sharded = np.asarray(decode_mcus_sharded(
+            padded, qidx, qpool, mode, mesh=eight_device_mesh,
+            lane_tile=LANE_TILE, ycbcr=True))
+        single = np.asarray(decode_mcus(
+            padded, qidx, qpool, mode, lane_tile=LANE_TILE, ycbcr=True))
+        assert sharded.shape == (mode.g, 64, m_pad)
+        np.testing.assert_array_equal(sharded, single)
+
     def test_output_sharding_layout(self, eight_device_mesh):
         mode = S.mode_for((1, 1, 3))
         m = 8 * LANE_TILE
