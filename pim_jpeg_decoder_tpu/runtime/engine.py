@@ -47,6 +47,17 @@ from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
 
 
 @dataclasses.dataclass
+class _BandAccumulator:
+    """Assembly state for one over-max_launch image decoded in chunks."""
+    name: str
+    uid: int
+    header: "object"
+    raster: np.ndarray          # [H, W, 3], bands pasted as they finish
+    remaining: int              # bands still in flight
+    failed: bool = False
+
+
+@dataclasses.dataclass
 class FileResult:
     name: str
     ok: bool
@@ -102,6 +113,7 @@ class DecodeEngine:
         self.lane_tile = cfg.lane_tile
         self.prepare_threads = cfg.prepare_threads
         self.max_images = cfg.max_images_per_batch
+        self.max_launch_mcus = cfg.max_launch_mcus
         self.transport = cfg.transport
         self.keep_rgb = keep_rgb
 
@@ -142,6 +154,40 @@ class DecodeEngine:
             batch.qidx = jax.device_put(batch.qidx)
             batch.qpool = jax.device_put(batch.qpool)
         return batch
+
+    def _split_bands(self, prepared: PreparedImage) -> List[Batch]:
+        """MCU-row-aligned chunks for an over-max_launch_mcus image.
+
+        Each band decodes as its own bucket-aligned launch; the decoded
+        rasters paste into one shared accumulator (the consumer thread is
+        the only writer, so no locking)."""
+        header = prepared.header
+        mode = S.mode_for(header.mode_key)
+        cols = header.mcu_cols
+        rows_per = max(1, self.max_launch_mcus // cols)
+        px_h = 8 * mode.v
+        acc = _BandAccumulator(
+            prepared.name, prepared.uid, header,
+            np.empty((header.height, header.width, 3), np.uint8),
+            remaining=-(-header.mcu_rows // rows_per))
+        batches: List[Batch] = []
+        for r0 in range(0, header.mcu_rows, rows_per):
+            rows = min(rows_per, header.mcu_rows - r0)
+            y0 = r0 * px_h
+            band_header = dataclasses.replace(
+                header, height=min(rows * px_h, header.height - y0))
+            band = PreparedImage(
+                prepared.name, band_header,
+                prepared.coeffs[r0 * cols:(r0 + rows) * cols],
+                uid=prepared.uid, band_target=(acc, y0))
+            n = band_header.num_mcus
+            budget = (S.bucket_mcus(n) if n <= S.MCU_BUCKETS[-1]
+                      else -(-n // self.lane_tile) * self.lane_tile)
+            router = ModeRouter(budget, max_images=1,
+                                lane_tile=self.lane_tile)
+            router.add(band)
+            batches.extend(router.flush_all())
+        return batches
 
     def _use_ycbcr(self, mode: S.ModeSpec) -> bool:
         """YCbCr wire transport whenever it reduces D2H bytes (all modes
@@ -187,15 +233,25 @@ class DecodeEngine:
                 else:
                     rgb = assemble_raster_raw(img.header,
                                               raw[..., off:off + n])
+                if img.band_target is not None:
+                    acc, y0 = img.band_target
+                    acc.raster[y0:y0 + rgb.shape[0]] = rgb
+                    acc.remaining -= 1
+                    if acc.remaining > 0 or acc.failed:
+                        continue
+                    img_name, header, rgb = acc.name, acc.header, acc.raster
+                    uid = acc.uid
+                else:
+                    img_name, header, uid = img.name, img.header, img.uid
                 res = FileResult(
-                    img.name, True,
-                    megapixels=img.header.width * img.header.height / 1e6)
+                    img_name, True,
+                    megapixels=header.width * header.height / 1e6)
                 if write:
-                    res.out_path = output_path(img.name)
+                    res.out_path = output_path(img_name)
                     write_bmp(res.out_path, rgb)
                 if self.keep_rgb:
                     res.rgb = rgb
-                results[img.uid] = res
+                results[uid] = res
 
     # -- public API -----------------------------------------------------------
 
@@ -238,6 +294,8 @@ class DecodeEngine:
                 except Exception as e:  # record, don't kill the pipeline
                     logger.error("device decode failed: %s", e)
                     for img, _ in batch.images:
+                        if img.band_target is not None:
+                            img.band_target[0].failed = True
                         results[img.uid] = FileResult(
                             img.name, False, error=f"device decode failed: {e}")
 
@@ -250,6 +308,8 @@ class DecodeEngine:
                     pending.append((batch, self._dispatch_batch(batch, timers)))
                 except Exception as e:
                     for img, _ in batch.images:
+                        if img.band_target is not None:
+                            img.band_target[0].failed = True
                         results[img.uid] = FileResult(
                             img.name, False, error=f"device decode failed: {e}")
                 if len(pending) >= 2:
@@ -270,6 +330,13 @@ class DecodeEngine:
                 except Exception as e:
                     logger.warning("skipping %s: %s", name, e)
                     results[uid] = FileResult(name, False, error=str(e))
+                    continue
+                # Beyond the largest single launch: decode in
+                # MCU-row-aligned chunks (the reference rejects these,
+                # "Too high resolution", reference: src/decoder_host.cpp:146).
+                if prepared.header.num_mcus > self.max_launch_mcus:
+                    for b in self._split_bands(prepared):
+                        batch_q.put(self._stage_batch(b, timers))
                     continue
                 # Oversized image: dedicated launch, bucket-aligned so the
                 # set of compiled kernel shapes stays bounded.

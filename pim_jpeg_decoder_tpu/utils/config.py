@@ -31,6 +31,11 @@ class EngineConfig:
     max_images_per_batch: int = 16
     # Mesh: number of chips to shard MCU tiles across (None = all local).
     num_devices: Optional[int] = None
+    # Largest single device launch, in MCUs.  Images above this decode in
+    # MCU-row-aligned chunks (bounded compiled-shape set + bounded device
+    # memory for arbitrarily large inputs; the reference instead rejects
+    # them — "Too high resolution", reference: src/decoder_host.cpp:146-149).
+    max_launch_mcus: int = 65536
     # Device->host output transport: "rgb" fetches decoded RGB (3 B/px);
     # "ycbcr" fetches level-shifted subsampled YCbCr planes (1.5 B/px for
     # 4:2:0) and finishes upsample+color on the host (bit-identical, C++
@@ -48,6 +53,7 @@ class EngineConfig:
             "PIM_JPEG_TPU_MAX_IMAGES": ("max_images_per_batch", int),
             "PIM_JPEG_TPU_NUM_DEVICES": ("num_devices", int),
             "PIM_JPEG_TPU_TRANSPORT": ("transport", str),
+            "PIM_JPEG_TPU_MAX_LAUNCH": ("max_launch_mcus", int),
         }
         for env, (field, conv) in mapping.items():
             if env in os.environ:
@@ -73,3 +79,7 @@ class EngineConfig:
         if self.transport not in ("auto", "rgb", "ycbcr"):
             raise ValueError(
                 f"transport must be auto/rgb/ycbcr, got {self.transport!r}")
+        if self.max_launch_mcus < self.lane_tile:
+            raise ValueError(
+                f"max_launch_mcus ({self.max_launch_mcus}) must be >= "
+                f"lane_tile ({self.lane_tile})")

@@ -211,3 +211,21 @@ def test_duplicate_input_names(photo_image):
     assert len(report.results) == 2
     np.testing.assert_array_equal(report.results[0].rgb,
                                   report.results[1].rgb)
+
+
+def test_chunked_decode_of_huge_image(rng):
+    """Images beyond max_launch_mcus decode in MCU-row-aligned chunks and
+    reassemble exactly (the reference rejects them: "Too high resolution")."""
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    img = rng.integers(0, 256, (250, 210, 3), dtype=np.uint8)  # 16x14 MCUs
+    data = encode_jpeg(img, quality=80, sampling="4:2:0")      # 224 MCUs
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=1,
+                       max_launch_mcus=128)
+    engine = DecodeEngine(keep_rgb=True, config=cfg)
+    report = engine.decode_named_blobs([("huge", data)])
+    assert report.ok_count == 1, [r.error for r in report.results]
+    assert len(report.results) == 1
+    np.testing.assert_array_equal(report.results[0].rgb,
+                                  decode_bytes_oracle(data).rgb)
