@@ -141,14 +141,15 @@ def bench_device_kernel() -> float:
     m = KERNEL_BATCH_MCUS
     rng = np.random.default_rng(0)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(coeffs, qidx, qpools, seed, n):
+    @functools.partial(jax.jit, static_argnames=("n", "ycbcr"))
+    def loop(coeffs, qidx, qpools, seed, n, ycbcr=False):
         def body(i, acc):
             out = decode_mcus_impl(
                 coeffs, qidx, qpools[(i + seed) % qpools.shape[0]],
-                mode=mode, lane_tile=LANE_TILE, interpret=False, raw=True)
-            return (acc + out[0, 0, 0, 0].astype(jnp.int32)
-                    + out[2, -1, -1, -1].astype(jnp.int32))
+                mode=mode, lane_tile=LANE_TILE, interpret=False,
+                raw=not ycbcr, ycbcr=ycbcr)
+            first = (out[0, 0, 0] if ycbcr else out[0, 0, 0, 0])
+            return acc + first.astype(jnp.int32)
         return jax.lax.fori_loop(0, n, body, seed)
 
     coeffs = jax.device_put(
@@ -162,26 +163,29 @@ def bench_device_kernel() -> float:
     # would make repeats of an identical loop call nearly free.
     seed_box = [0]
 
-    def timed(n: int) -> float:
+    def timed(n: int, ycbcr: bool) -> float:
         seed_box[0] += 1
         t0 = time.monotonic()
-        np.asarray(loop(coeffs, qidx, qpools, jnp.int32(seed_box[0]), n))
+        np.asarray(loop(coeffs, qidx, qpools, jnp.int32(seed_box[0]), n,
+                        ycbcr))
         return time.monotonic() - t0
 
     import statistics
     n_lo, n_hi = 4, KERNEL_REPS
-    for n in (n_lo, n_hi):
-        timed(n)  # compile + warm
-    # Paired adjacent samples cancel slow tunnel drift; median rejects
-    # hiccup outliers.
-    diffs = []
-    for _ in range(5):
-        a = timed(n_lo)
-        b = timed(n_hi)
-        diffs.append((b - a) / (n_hi - n_lo))
-    dt = statistics.median(diffs)
     mp_per_launch = m * mode.mcu_px_h * mode.mcu_px_w / 1e6
-    return mp_per_launch / dt
+    out = []
+    for ycbcr in (False, True):
+        for n in (n_lo, n_hi):
+            timed(n, ycbcr)  # compile + warm
+        # Paired adjacent samples cancel slow tunnel drift; median rejects
+        # hiccup outliers.
+        diffs = []
+        for _ in range(5):
+            a = timed(n_lo, ycbcr)
+            b = timed(n_hi, ycbcr)
+            diffs.append((b - a) / (n_hi - n_lo))
+        out.append(mp_per_launch / statistics.median(diffs))
+    return tuple(out)  # (full RGB decode, ycbcr-transport kernel)
 
 
 def bench_e2e(blobs) -> tuple:
@@ -216,7 +220,7 @@ def check_bit_exact(blobs) -> bool:
 def main() -> None:
     blobs = make_corpus()
 
-    kernel_mps = bench_device_kernel()
+    kernel_mps, ycbcr_kernel_mps = bench_device_kernel()
     e2e_mps, _ = bench_e2e(blobs)
     entropy_mps = bench_host_entropy(blobs)
     progressive_mps = bench_progressive(blobs)
@@ -228,6 +232,7 @@ def main() -> None:
         "value": round(kernel_mps, 1),
         "unit": "MP/s",
         "vs_baseline": round(kernel_mps / pil_mps, 2),
+        "ycbcr_kernel_mps": round(ycbcr_kernel_mps, 1),
         "e2e_mps": round(e2e_mps, 1),
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
