@@ -115,42 +115,28 @@ def bench_progressive(blobs) -> float:
     return mp / (time.monotonic() - t0)
 
 
-def bench_device_kernel() -> float:
-    """Device-resident fused-pipeline throughput (the per-chip metric).
+def bench_device_kernel() -> tuple:
+    """Device-resident throughputs: (fused RGB decode, YCbCr-transport kernel).
 
-    Timed with an on-device ``lax.fori_loop`` chaining N kernel launches —
-    each iteration uses a distinct quant pool and the loop carries a scalar
-    data dependency on each output, so nothing can be elided, cached, or
-    overlapped away.  Host-side per-launch timing is NOT trustworthy on this
-    rig: the remote-TPU tunnel acknowledges ``block_until_ready`` before
-    real execution completes and can serve repeated identical launches from
-    a result cache (observed: "1.3 TP/s", 8x over the HBM speed of light).
-    The reported time is (t_N2 - t_N1) / (N2 - N1): pure steady-state device
-    execution of the production kernel, no dispatch or transfer.
+    Timed with the shared tunnel-immune harness
+    (pim_jpeg_decoder_tpu/utils/devbench.py): an on-device ``lax.fori_loop``
+    chain with per-iteration-varying quant pools, a scalar data dependency
+    on every output, and a unique seed per timed call — host-side per-launch
+    timing is untrustworthy on this rig (see devbench docstring).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
     from pim_jpeg_decoder_tpu.ops import specs as S
     from pim_jpeg_decoder_tpu.ops.decode_kernel import (LANE_TILE,
                                                         decode_mcus_impl)
+    from pim_jpeg_decoder_tpu.utils.devbench import devloop_seconds_per_launch
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
+    ensure_compilation_cache()
     mode = S.mode_for((2, 2, 3))
     m = KERNEL_BATCH_MCUS
     rng = np.random.default_rng(0)
-
-    @functools.partial(jax.jit, static_argnames=("n", "ycbcr"))
-    def loop(coeffs, qidx, qpools, seed, n, ycbcr=False):
-        def body(i, acc):
-            out = decode_mcus_impl(
-                coeffs, qidx, qpools[(i + seed) % qpools.shape[0]],
-                mode=mode, lane_tile=LANE_TILE, interpret=False,
-                raw=not ycbcr, ycbcr=ycbcr)
-            first = (out[0, 0, 0] if ycbcr else out[0, 0, 0, 0])
-            return acc + first.astype(jnp.int32)
-        return jax.lax.fori_loop(0, n, body, seed)
 
     coeffs = jax.device_put(
         rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
@@ -158,34 +144,22 @@ def bench_device_kernel() -> float:
     qpools = jax.device_put(
         rng.integers(1, 64, (64, 16, mode.g, 64)).astype(np.float32))
 
-    # Every timed call gets a UNIQUE seed argument: the tunnel runtime can
-    # serve a repeated (executable, args) pair from a result cache, which
-    # would make repeats of an identical loop call nearly free.
-    seed_box = [0]
-
-    def timed(n: int, ycbcr: bool) -> float:
-        seed_box[0] += 1
-        t0 = time.monotonic()
-        np.asarray(loop(coeffs, qidx, qpools, jnp.int32(seed_box[0]), n,
-                        ycbcr))
-        return time.monotonic() - t0
-
-    import statistics
-    n_lo, n_hi = 4, KERNEL_REPS
     mp_per_launch = m * mode.mcu_px_h * mode.mcu_px_w / 1e6
     out = []
     for ycbcr in (False, True):
-        for n in (n_lo, n_hi):
-            timed(n, ycbcr)  # compile + warm
-        # Paired adjacent samples cancel slow tunnel drift; median rejects
-        # hiccup outliers.
-        diffs = []
-        for _ in range(5):
-            a = timed(n_lo, ycbcr)
-            b = timed(n_hi, ycbcr)
-            diffs.append((b - a) / (n_hi - n_lo))
-        out.append(mp_per_launch / statistics.median(diffs))
-    return tuple(out)  # (full RGB decode, ycbcr-transport kernel)
+        def step(i, ycbcr=ycbcr):
+            return decode_mcus_impl(
+                coeffs, qidx, qpools[i % qpools.shape[0]],
+                mode=mode, lane_tile=LANE_TILE, interpret=False,
+                raw=not ycbcr, ycbcr=ycbcr)
+
+        def consume(o, ycbcr=ycbcr):
+            first = o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]
+            return first.astype(jnp.int32)
+
+        dt = devloop_seconds_per_launch(step, consume, n_hi=KERNEL_REPS)
+        out.append(mp_per_launch / dt)
+    return tuple(out)
 
 
 def bench_e2e(blobs) -> tuple:

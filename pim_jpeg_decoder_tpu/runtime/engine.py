@@ -51,7 +51,7 @@ class _BandAccumulator:
     """Assembly state for one over-max_launch image decoded in chunks."""
     name: str
     uid: int
-    header: "object"
+    header: "JpegHeader"
     raster: np.ndarray          # [H, W, 3], bands pasted as they finish
     remaining: int              # bands still in flight
     failed: bool = False
@@ -155,6 +155,19 @@ class DecodeEngine:
             batch.qpool = jax.device_put(batch.qpool)
         return batch
 
+    def _dedicated_budget(self, num_mcus: int) -> int:
+        """Launch size for a dedicated (single-image/band) router: the
+        smallest covering bucket, capped at max_launch_mcus (the documented
+        device-memory bound) and aligned to lane_tile."""
+        lt = self.lane_tile
+        if num_mcus <= S.MCU_BUCKETS[-1]:
+            budget = min(S.bucket_mcus(num_mcus),
+                         max(self.max_launch_mcus, lt))
+            budget = max(budget, num_mcus)
+        else:
+            budget = num_mcus
+        return -(-budget // lt) * lt
+
     def _split_bands(self, prepared: PreparedImage) -> List[Batch]:
         """MCU-row-aligned chunks for an over-max_launch_mcus image.
 
@@ -180,11 +193,9 @@ class DecodeEngine:
                 prepared.name, band_header,
                 prepared.coeffs[r0 * cols:(r0 + rows) * cols],
                 uid=prepared.uid, band_target=(acc, y0))
-            n = band_header.num_mcus
-            budget = (S.bucket_mcus(n) if n <= S.MCU_BUCKETS[-1]
-                      else -(-n // self.lane_tile) * self.lane_tile)
-            router = ModeRouter(budget, max_images=1,
-                                lane_tile=self.lane_tile)
+            router = ModeRouter(self._dedicated_budget(
+                band_header.num_mcus), max_images=1,
+                lane_tile=self.lane_tile)
             router.add(band)
             batches.extend(router.flush_all())
         return batches
@@ -220,7 +231,7 @@ class DecodeEngine:
                                raw=not ycbcr, ycbcr=ycbcr)
 
     def _finish_batch(self, batch: Batch, raw_rgb_dev, timers: StageTimers,
-                      write: bool, results: Dict[str, FileResult]) -> None:
+                      write: bool, results: Dict[int, FileResult]) -> None:
         ycbcr = batch.transport == "ycbcr"
         with timers.stage("d2h"):
             # [g, 64, budget] YCbCr planes or [3, luma_slots, 64, budget] RGB
@@ -278,7 +289,7 @@ class DecodeEngine:
     def _decode_named_blobs(self, items: Sequence[Tuple[str, bytes]],
                             write: bool) -> EngineReport:
         timers = StageTimers()
-        results: Dict[str, FileResult] = {}
+        results: Dict[int, FileResult] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
         router = ModeRouter(self.budget_mcus, max_images=self.max_images,
                             lane_tile=self.lane_tile)
@@ -341,12 +352,9 @@ class DecodeEngine:
                 # Oversized image: dedicated launch, bucket-aligned so the
                 # set of compiled kernel shapes stays bounded.
                 if prepared.header.num_mcus > self.budget_mcus:
-                    n = prepared.header.num_mcus
-                    big_budget = (S.bucket_mcus(n) if n <= S.MCU_BUCKETS[-1]
-                                  else -(-n // self.lane_tile)
-                                  * self.lane_tile)
-                    big = ModeRouter(big_budget, max_images=1,
-                                     lane_tile=self.lane_tile)
+                    big = ModeRouter(
+                        self._dedicated_budget(prepared.header.num_mcus),
+                        max_images=1, lane_tile=self.lane_tile)
                     big.add(prepared)
                     for b in big.flush_all():
                         batch_q.put(self._stage_batch(b, timers))

@@ -57,8 +57,7 @@ class TestYcbcrTransport:
         got, want = decode_both_ways(photo_image, sampling, grayscale)
         np.testing.assert_array_equal(got, want)
 
-    @pytest.mark.parametrize("sampling,grayscale", [("4:2:0", False),
-                                                    ("gray", True)])
+    @pytest.mark.parametrize("sampling,grayscale", SAMPLINGS)
     def test_numpy_fallback_matches(self, photo_image, monkeypatch,
                                     sampling, grayscale):
         monkeypatch.setenv("PIM_JPEG_TPU_NO_NATIVE", "1")

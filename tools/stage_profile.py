@@ -14,52 +14,19 @@ Run on TPU:  python tools/stage_profile.py
 
 from __future__ import annotations
 
-import functools
 import json
 import os
-import statistics
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_LO, N_HI = 4, 68
-_seed = [0]
-
 
 def devloop_us(make_step, consume):
-    """Median paired-difference us/launch of ``make_step(perturbed_input)``.
-
-    make_step(i32_scalar) must return the stage output for a per-iteration
-    perturbed input; ``consume(out)`` reduces it to an int32 scalar so the
-    loop carries a data dependency.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(seed, n):
-        def body(i, acc):
-            out = make_step(i + seed)
-            return acc + consume(out)
-        return jax.lax.fori_loop(0, n, body, seed)
-
-    def timed(n):
-        _seed[0] += 1
-        t0 = time.monotonic()
-        np.asarray(loop(jnp.int32(_seed[0]), n))
-        return time.monotonic() - t0
-
-    for n in (N_LO, N_HI):
-        timed(n)  # compile + warm
-    diffs = []
-    for _ in range(5):
-        a = timed(N_LO)
-        b = timed(N_HI)
-        diffs.append((b - a) / (N_HI - N_LO))
-    return statistics.median(diffs) * 1e6
+    """Median us/launch via the shared tunnel-immune harness."""
+    from pim_jpeg_decoder_tpu.utils.devbench import devloop_seconds_per_launch
+    return devloop_seconds_per_launch(make_step, consume, n_hi=68) * 1e6
 
 
 def main() -> None:
