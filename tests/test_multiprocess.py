@@ -1,0 +1,50 @@
+"""Two-process (simulated two-host) regression test over jax.distributed.
+
+Guards the whole-image-per-host design: each process must drive only its
+LOCAL devices (a mesh accidentally built over jax.devices() spans processes
+and every decode fails — regression seen in round 1).  Runs the real
+tools/scaling_bench.py harness over Gloo on the CPU backend.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "tools", "scaling_bench.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_scaling_harness():
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # plain 1-device-per-process CPU backend
+    procs = [
+        subprocess.Popen(
+            [sys.executable, BENCH, "--num-processes", "2",
+             "--process-id", str(pid), "--coordinator",
+             f"localhost:{port}", "--images", "8",
+             "--baseline-mps", "1.0"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=280) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
+    # Process 0 prints the aggregated JSON line.
+    line = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["hosts"] == 2
+    assert report["value"] > 0
+    assert "scaling_efficiency" in report
