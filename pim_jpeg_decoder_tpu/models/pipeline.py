@@ -149,8 +149,9 @@ class TpuJpegDecoder:
     with device execution.
     """
 
-    def __init__(self, lane_tile: int = LANE_TILE):
+    def __init__(self, lane_tile: int = LANE_TILE, transport: str = "auto"):
         self.lane_tile = lane_tile
+        self.transport = transport
 
     def decode(self, data: bytes) -> DecodeResult:
         header = scan_jpeg(data)
@@ -163,6 +164,18 @@ class TpuJpegDecoder:
         qidx = np.zeros(m_pad, dtype=np.int32)
         qpool = build_qpool([header], mode)
 
+        # Same wire-bytes policy as the engine: fetch subsampled YCbCr
+        # planes when that reduces D2H, finish upsample+color on the host
+        # (bit-identical; see assemble_raster_ycbcr).
+        ycbcr = (self.transport == "ycbcr"
+                 or (self.transport == "auto"
+                     and mode.g < 3 * mode.luma_slots))
+        if ycbcr:
+            planes = np.asarray(decode_mcus(
+                padded, qidx, qpool, mode, lane_tile=self.lane_tile,
+                ycbcr=True))
+            return DecodeResult(assemble_raster_ycbcr(header, planes),
+                                header)
         raw_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                          lane_tile=self.lane_tile, raw=True))
         return DecodeResult(assemble_raster_raw(header, raw_rgb), header)
