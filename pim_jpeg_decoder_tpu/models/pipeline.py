@@ -199,6 +199,58 @@ def decode_bytes(data: bytes) -> np.ndarray:
     return _default_decoder().decode(data).rgb
 
 
+def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,
+                  lane_tile: int = LANE_TILE) -> np.ndarray:
+    """Decode only the crop box ``[y0:y0+height, x0:x0+width]``.
+
+    Entropy decode is inherently whole-scan (serial bitstream), but device
+    work and transfer shrink to the MCU sub-grid covering the box — for an
+    ImageNet-style random crop that is a ~3-5x cut.  Pixels are bit-identical
+    to the same slice of a full decode (tested).
+    """
+    import dataclasses as _dc
+
+    header = scan_jpeg(data)
+    if not (0 <= y0 and 0 <= x0 and height > 0 and width > 0
+            and y0 + height <= header.height and x0 + width <= header.width):
+        raise ValueError(
+            f"crop [{y0}:{y0 + height}, {x0}:{x0 + width}] outside "
+            f"{header.height}x{header.width}")
+    coeffs = entropy_decode(header)
+    mode = S.mode_for(header.mode_key)
+    px_h, px_w = 8 * mode.v, 8 * mode.h
+
+    r0, c0 = y0 // px_h, x0 // px_w
+    r1 = -(-(y0 + height) // px_h)
+    c1 = -(-(x0 + width) // px_w)
+    cols = header.mcu_cols
+    grid = (coeffs[: header.num_mcus]
+            .reshape(header.mcu_rows, cols, mode.g, 64))
+    sub = np.ascontiguousarray(grid[r0:r1, c0:c1]).reshape(-1, mode.g, 64)
+
+    # A sub-header describing just the MCU sub-grid (geometry properties
+    # derive from width/height, so replace() keeps them consistent).
+    sub_header = _dc.replace(header, height=(r1 - r0) * px_h,
+                             width=(c1 - c0) * px_w)
+
+    m_pad = pad_mcus(sub.shape[0], lane_tile)
+    padded = np.zeros((m_pad, mode.g, 64), np.int16)
+    padded[: sub.shape[0]] = sub
+    qidx = np.zeros(m_pad, np.int32)
+    qpool = build_qpool([header], mode)
+
+    if mode.g < 3 * mode.luma_slots:
+        planes = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                        lane_tile=lane_tile, ycbcr=True))
+        raster = assemble_raster_ycbcr(sub_header, planes)
+    else:
+        raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                     lane_tile=lane_tile, raw=True))
+        raster = assemble_raster_raw(sub_header, raw)
+    oy, ox = y0 - r0 * px_h, x0 - c0 * px_w
+    return np.ascontiguousarray(raster[oy:oy + height, ox:ox + width])
+
+
 def output_path(input_path: str) -> str:
     """BMP output naming rule of the reference: replace the extension with
     .bmp, or append .bmp if there is none (reference: src/decoder_host.cpp:330)."""

@@ -218,3 +218,31 @@ class TestKernelExtremeValues:
                                  mode.v, mode.h)
             want = ycbcr_to_rgb(spat[:, s], cb, cr).reshape(m, 64, 3)
             np.testing.assert_array_equal(got[:, s], want)
+
+
+class TestDecodeRegion:
+    @pytest.mark.parametrize("box", [(0, 0, 16, 16), (13, 27, 50, 40),
+                                     (57, 35, 39, 93)])
+    def test_matches_full_decode_slice(self, photo_image, box):
+        from pim_jpeg_decoder_tpu.models.pipeline import (decode_bytes,
+                                                          decode_region)
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        y0, x0, h, w = box
+        full = decode_bytes(data)
+        got = decode_region(data, y0, x0, h, w, lane_tile=128)
+        np.testing.assert_array_equal(got, full[y0:y0 + h, x0:x0 + w])
+
+    def test_bottom_right_edge(self, rng):
+        from pim_jpeg_decoder_tpu.models.pipeline import (decode_bytes,
+                                                          decode_region)
+        img = rng.integers(0, 256, (37, 43, 3), np.uint8)  # partial MCUs
+        data = encode_jpeg(img, quality=80, sampling="4:2:0")
+        full = decode_bytes(data)
+        got = decode_region(data, 21, 27, 16, 16, lane_tile=128)
+        np.testing.assert_array_equal(got, full[21:37, 27:43])
+
+    def test_rejects_out_of_bounds(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.pipeline import decode_region
+        data = encode_jpeg(photo_image, quality=85)
+        with pytest.raises(ValueError):
+            decode_region(data, 0, 0, 10_000, 16)
