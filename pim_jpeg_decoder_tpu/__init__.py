@@ -14,18 +14,18 @@ A from-scratch rebuild of the capabilities of the UPMEM-PIM JPEG decoder
 - 24bpp bottom-up BMP output bit-exact against the NumPy oracle decoder.
 
 Top-level API (lazy so that pure-CPU users don't pay the JAX import):
-``TpuJpegDecoder``, ``decode_file``, ``decode_bytes``, ``decode_region``.
+``TpuJpegDecoder``, ``decode_file``, ``decode_bytes``, ``decode_region``, ``decode_scaled``.
 """
 
 from pim_jpeg_decoder_tpu.version import __version__
 
 __all__ = ["__version__", "TpuJpegDecoder", "decode_file", "decode_bytes",
-           "decode_region"]
+           "decode_region", "decode_scaled"]
 
 
 def __getattr__(name):
     if name in ("TpuJpegDecoder", "decode_file", "decode_bytes",
-                "decode_region"):
+                "decode_region", "decode_scaled"):
         from pim_jpeg_decoder_tpu.models import pipeline
         return getattr(pipeline, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -95,6 +95,25 @@ def assemble_raster_raw(header: JpegHeader, raw_rgb: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img[: header.height, : header.width])
 
 
+def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
+                               scale: int) -> np.ndarray:
+    """Scaled-decode kernel output ``[3, luma_slots, nn, M]`` ->
+    ``[ceil(H/scale), ceil(W/scale), 3]`` (nn = (8/scale)^2)."""
+    mode = S.mode_for(header.mode_key)
+    gh, gw = header.mcu_rows, header.mcu_cols
+    v, h = mode.v, mode.h
+    n = 8 // scale
+    img = (
+        raw_rgb[..., : gh * gw]
+        .reshape(3, v, h, n, n, gh, gw)
+        .transpose(5, 1, 3, 6, 2, 4, 0)
+        .reshape(gh * v * n, gw * h * n, 3)
+    )
+    out_h = -(-header.height // scale)
+    out_w = -(-header.width // scale)
+    return np.ascontiguousarray(img[:out_h, :out_w])
+
+
 def assemble_raster_ycbcr(header: JpegHeader, planes: np.ndarray,
                           mcu_off: int = 0) -> np.ndarray:
     """Wire-optimal YCbCr kernel output ``[g, 64, m_total]`` -> ``[H, W, 3]``.
@@ -197,6 +216,34 @@ def _default_decoder() -> TpuJpegDecoder:
 def decode_bytes(data: bytes) -> np.ndarray:
     """Decode one JPEG byte string to an ``[H, W, 3]`` uint8 RGB array."""
     return _default_decoder().decode(data).rgb
+
+
+def decode_scaled(data: bytes, scale: int,
+                  lane_tile: int = LANE_TILE) -> np.ndarray:
+    """Scaled decode: ``[ceil(H/scale), ceil(W/scale), 3]`` for scale 2/4/8.
+
+    Reduced (8/scale)-point IDCT of the top-left frequency sub-block — the
+    libjpeg ``scale_denom`` capability, TPU-native: device work and D2H
+    shrink by ~scale^2, the natural fit for ML input pipelines that resize
+    anyway.  scale=1 is a full decode.
+    """
+    if scale not in (1, 2, 4, 8):
+        raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
+    if scale == 1:
+        return decode_bytes(data)
+    header = scan_jpeg(data)
+    coeffs = entropy_decode(header)
+    mode = S.mode_for(header.mode_key)
+
+    m_pad = pad_mcus(header.num_mcus, lane_tile)
+    padded = np.zeros((m_pad, mode.g, 64), np.int16)
+    padded[: header.num_mcus] = coeffs
+    qidx = np.zeros(m_pad, np.int32)
+    qpool = build_qpool([header], mode)
+
+    raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                 lane_tile=lane_tile, raw=True, scale=scale))
+    return assemble_raster_raw_scaled(header, raw, scale)
 
 
 def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,

@@ -85,6 +85,40 @@ def _idct_block(x32):
     return _assemble(_idct_pass2(_idct_pass1(x32)))
 
 
+def _reduced_pass(xs, mat, shift):
+    """One n-point reduced-IDCT pass: xs is a freq-indexed list of n
+    arrays; returns the n transformed arrays (spec: specs.py 'Reduced
+    (scaled) IDCT')."""
+    n = len(mat)
+    outs = []
+    for k in range(n):
+        acc = xs[0] * mat[k][0]
+        for u in range(1, n):
+            acc = acc + xs[u] * mat[k][u]
+        outs.append(S.descale(acc, shift))
+    return outs
+
+
+def _reduced_idct_lists(x32, ny: int, nx: int):
+    """Reduced (ny x nx)-point IDCT of the top-left frequency sub-block.
+
+    Returns the pass-2 output as a list over spatial col p (nx entries) of
+    ``[ny, T]`` arrays — same list structure as the full-scale path, so
+    slot selection stays free Python indexing.  Scaled decode uses the
+    reduced-matrix convention for BOTH passes (including ny/nx == 8): the
+    matrices carry the 1/2-per-pass normalization, shifts are
+    CONST_BITS - PASS1_BITS then CONST_BITS + PASS1_BITS (specs.py
+    'Reduced (scaled) IDCT').
+    """
+    mat1 = S.reduced_idct_matrix(ny)
+    xs = [x32[v][0:nx] for v in range(ny)]        # top-left ny x nx freqs
+    rows1 = _reduced_pass(xs, mat1, S.CONST_BITS - S.PASS1_BITS)
+    mat2 = S.reduced_idct_matrix(nx)
+    y = jnp.swapaxes(jnp.stack(rows1, axis=0), 0, 1)   # [freq u, row, T]
+    return _reduced_pass([y[u] for u in range(nx)], mat2,
+                         S.CONST_BITS + S.PASS1_BITS)
+
+
 def _upsample(chroma, qv: int, qh: int, v: int, h: int):
     """Nearest-neighbor chroma upsample for the luma slot at (qv, qh).
 
@@ -110,11 +144,18 @@ def _color(y, cb, cr):
 
 
 def _to_u8(plane, t: int):
-    return jnp.clip(plane.reshape(64, t), 0, 255).astype(jnp.uint8)
+    return jnp.clip(plane.reshape(-1, t), 0, 255).astype(jnp.uint8)
 
 
-def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
-    """Build the fused kernel body for one sampling mode."""
+def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int,
+                 scale: int = 1):
+    """Build the fused kernel body for one sampling mode.
+
+    ``scale`` in {1, 2, 4, 8} selects full or reduced (n = 8/scale point)
+    IDCT output — the scaled-decode capability (specs.py 'Reduced IDCT').
+    """
+    n = 8 // scale
+    nn = n * n
 
     def kernel(qidx_ref, coeff_ref, qpool_ref, out_ref):
         t = lane_tile
@@ -133,43 +174,67 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int):
             deq = jnp.clip(deq, -S.DEQUANT_CLAMP - 1, S.DEQUANT_CLAMP)
             return deq.reshape(8, 8, t)
 
-        spat = [_idct_block(deq_slot(s)) for s in range(mode.luma_slots)]
+        def idct_slot(s):
+            if scale == 1:
+                return _idct_block(deq_slot(s))
+            return _assemble(_reduced_idct_lists(deq_slot(s), n, n))
+
+        spat = [idct_slot(s) for s in range(mode.luma_slots)]
 
         if mode.ncomp == 1:
             y128 = jnp.clip(spat[0] + 128, 0, 255).astype(jnp.uint8)
-            flat = y128.reshape(64, t)
+            flat = y128.reshape(nn, t)
             for ch in range(3):
-                out_ref[ch, 0:64, :] = flat
+                out_ref[ch, 0:nn, :] = flat
             return
 
-        # Chroma with FUSED nearest-neighbor upsample: replication commutes
-        # with the per-row/per-col IDCT passes, so upsampling is free Python
-        # list selection — rows are duplicated between pass 1 and pass 2
-        # (one extra chroma pass 2 per distinct qv when v == 2), columns on
-        # the pass-2 output list.  This removes the broadcast/strided-gather
-        # upsample from the hot path entirely (reference does it per pixel,
-        # reference: src/decoder_dpu.c:338-355,370).
-        rh, rw = 8 // mode.v, 8 // mode.h
-        chroma_cols = {}
-        for ci in range(2):
-            rows1 = _idct_pass1(deq_slot(mode.luma_slots + ci))
-            for qv in range(mode.v):
-                sel = (rows1 if mode.v == 1 else
-                       [rows1[qv * rh + r // mode.v] for r in range(8)])
-                chroma_cols[ci, qv] = _idct_pass2(sel)
+        if scale == 1:
+            # Chroma with FUSED nearest-neighbor upsample: replication
+            # commutes with the per-row/per-col IDCT passes, so upsampling
+            # is free Python list selection — rows are duplicated between
+            # pass 1 and pass 2 (one extra chroma pass 2 per distinct qv
+            # when v == 2), columns on the pass-2 output list.  This removes
+            # the broadcast/strided-gather upsample from the hot path
+            # entirely (the reference does it per pixel,
+            # reference: src/decoder_dpu.c:338-355,370).
+            rh, rw = 8 // mode.v, 8 // mode.h
+            chroma_cols = {}
+            for ci in range(2):
+                rows1 = _idct_pass1(deq_slot(mode.luma_slots + ci))
+                for qv in range(mode.v):
+                    sel = (rows1 if mode.v == 1 else
+                           [rows1[qv * rh + r // mode.v] for r in range(8)])
+                    chroma_cols[ci, qv] = _idct_pass2(sel)
 
-        for s in range(mode.luma_slots):
-            qv, qh = mode.luma_slot_pos(s)
-
-            def chroma_slot(ci):
+            def chroma_slot(ci, qv, qh):
                 cols2 = chroma_cols[ci, qv]
                 if mode.h != 1:
                     cols2 = [cols2[qh * rw + p // mode.h] for p in range(8)]
                 return _assemble(cols2)
+        else:
+            # Scaled decode: chroma covers v x h MCU cells per block, so at
+            # scale >= 2 its reduced output is (v*n) x (h*n) — no upsample
+            # at all (chroma is reduced LESS than luma, matching libjpeg's
+            # scaled 4:2:0 behavior where 1/2-scale chroma is full 8x8).
+            # Slot (qv, qh) takes its n x n region by free list/sublane
+            # slicing.
+            chroma_out = {
+                ci: _reduced_idct_lists(deq_slot(mode.luma_slots + ci),
+                                        mode.v * n, mode.h * n)
+                for ci in range(2)
+            }
 
-            cb_s, cr_s = chroma_slot(0), chroma_slot(1)
+            def chroma_slot(ci, qv, qh):
+                cols2 = chroma_out[ci][qh * n:(qh + 1) * n]
+                return _assemble(
+                    [c[qv * n:(qv + 1) * n] for c in cols2])
+
+        for s in range(mode.luma_slots):
+            qv, qh = mode.luma_slot_pos(s)
+            cb_s = chroma_slot(0, qv, qh)
+            cr_s = chroma_slot(1, qv, qh)
             for ch, plane in enumerate(_color(spat[s], cb_s, cr_s)):
-                out_ref[ch, s * 64:(s + 1) * 64, :] = _to_u8(plane, t)
+                out_ref[ch, s * nn:(s + 1) * nn, :] = _to_u8(plane, t)
 
     return kernel
 
@@ -211,6 +276,7 @@ def decode_mcus_impl(
     interpret: bool,
     raw: bool = False,
     ycbcr: bool = False,
+    scale: int = 1,
 ) -> jax.Array:
     """Traceable (un-jitted) device decode — usable inside shard_map/jit.
 
@@ -224,6 +290,9 @@ def decode_mcus_impl(
     q = qpool.shape[0]
     gy = mode.luma_slots
     assert m % lane_tile == 0, (m, lane_tile)
+    assert scale in (1, 2, 4, 8), scale
+    assert not (ycbcr and scale != 1), "ycbcr transport is full-scale only"
+    nn = (8 // scale) ** 2
 
     # Dtype coercion happens here, inside the traced function: it is free at
     # dispatch time (part of the compiled program, a no-op for already-
@@ -258,30 +327,31 @@ def decode_mcus_impl(
             interpret=interpret,
         )(qidx2, x, qp)
     rgb = pl.pallas_call(
-        _make_kernel(mode, lane_tile, q),
+        _make_kernel(mode, lane_tile, q, scale),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((3, gy * 64, lane_tile), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((3, gy * nn, lane_tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, gy * 64, m), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((3, gy * nn, m), jnp.uint8),
         interpret=interpret,
     )(qidx2, x, qp)
 
     if raw:
-        return rgb.reshape(3, gy, 64, m)
-    # [3, gy*64, M] -> [M, gy, 64, 3] (slot-major per MCU).  This is a real
+        return rgb.reshape(3, gy, nn, m)
+    # [3, gy*nn, M] -> [M, gy, nn, 3] (slot-major per MCU).  This is a real
     # HBM copy (the default output layout differs); prefer raw=True.
-    return jnp.transpose(rgb.reshape(3, gy, 64, m), (3, 1, 2, 0))
+    return jnp.transpose(rgb.reshape(3, gy, nn, m), (3, 1, 2, 0))
 
 
 _decode_mcus_jit = jax.jit(
     decode_mcus_impl,
-    static_argnames=("mode", "lane_tile", "interpret", "raw", "ycbcr"))
+    static_argnames=("mode", "lane_tile", "interpret", "raw", "ycbcr",
+                     "scale"))
 
 
 def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
                 lane_tile: int = LANE_TILE, raw: bool = False,
-                ycbcr: bool = False) -> jax.Array:
+                ycbcr: bool = False, scale: int = 1) -> jax.Array:
     """Decode a batch of MCUs on device.
 
     Args:
@@ -296,10 +366,14 @@ def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
       ycbcr: return level-shifted uint8 YCbCr planes ``[g, 64, M]`` in the
         subsampled layout (1.5 B/px for 4:2:0) for host-side upsample +
         color — the wire-optimal transport when the result leaves the chip.
+      scale: 1 (full) or 2/4/8 for reduced-IDCT scaled decode — each slot
+        emits (8/scale)^2 pixels (libjpeg scaled-decode equivalent; see
+        specs.py 'Reduced IDCT').
 
     Returns:
-      ``[M, luma_slots, 64, 3]`` uint8 RGB, ``[3, luma_slots, 64, M]``
-      with ``raw=True``, or ``[g, 64, M]`` with ``ycbcr=True``.
+      ``[M, luma_slots, nn, 3]`` uint8 RGB where nn = (8/scale)^2,
+      ``[3, luma_slots, nn, M]`` with ``raw=True``, or ``[g, 64, M]`` with
+      ``ycbcr=True`` (full scale only).
     """
     ensure_compilation_cache()
     return _decode_mcus_jit(
@@ -311,6 +385,7 @@ def decode_mcus(coeffs, qidx, qpool, mode: S.ModeSpec,
         interpret=_interpret(),
         raw=raw,
         ycbcr=ycbcr,
+        scale=scale,
     )
 
 

@@ -48,6 +48,38 @@ DEQUANT_CLAMP = 32767
 SAMPLE_MIN = -128
 SAMPLE_MAX = 127
 
+# --- Reduced (scaled) IDCT ----------------------------------------------------
+# Scaled decode (1/2, 1/4, 1/8 like libjpeg's jpeg_idct_4x4/2x2/1x1): an
+# n-point inverse transform of the top-left n x n frequency sub-block,
+#   s[k] = (1/2) * sum_{u<n} C_u F_u cos((2k+1) u pi / (2n)),  C_0 = 1/sqrt(2)
+# whose flat-block response per pass is 1/(2*sqrt(2)) — two passes give the
+# standard 1/8, so a DC-only block decodes to the same intensity at every
+# scale.  Constants are round(basis * 2^CONST_BITS); both passes multiply by
+# the integer matrix and descale (pass 1 by CONST_BITS - PASS1_BITS, pass 2
+# by CONST_BITS + PASS1_BITS), then clamp to the sample range.  Subsampled
+# chroma reduces per-axis to (sampling_factor * n) points — less than luma,
+# no upsampling at scale >= 2 (matches libjpeg, where 1/2-scale 4:2:0
+# chroma is the full 8x8).  The oracle and the Pallas kernel share these
+# matrices, so bit-exactness between them is by construction (full-scale
+# decode is unaffected: scale=1 uses the Loeffler butterfly above).
+
+SCALED_SIZES = (4, 2, 1)   # 1/2, 1/4, 1/8 of full resolution
+
+
+def reduced_idct_matrix(n: int):
+    """[n, n] integer basis matrix for the n-point reduced IDCT."""
+    import math
+    rows = []
+    for k in range(n):
+        row = []
+        for u in range(n):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            basis = 0.5 * cu * math.cos((2 * k + 1) * u * math.pi / (2 * n))
+            row.append(round(basis * (1 << CONST_BITS)))
+        rows.append(row)
+    return rows
+
+
 # --- Fixed-point BT.601 color conversion (scale 2^16) ------------------------
 # R = Y + 1.402 Cr; G = Y - 0.344136 Cb - 0.714136 Cr; B = Y + 1.772 Cb
 # with chroma centered at 0 (IDCT output before level shift) and +128 level

@@ -47,6 +47,32 @@ def idct_blocks(coeffs: np.ndarray, clamp: bool = True) -> np.ndarray:
     return out
 
 
+def reduced_idct_blocks(coeffs: np.ndarray, ny: int, nx: int = None,
+                        clamp: bool = True) -> np.ndarray:
+    """Reduced (ny x nx)-point IDCT (scaled decode): -> ``[..., ny, nx]``.
+
+    Same integer spec as the Pallas kernel's reduced path (specs.py
+    'Reduced (scaled) IDCT'): matrix multiply by the rounded basis, descale
+    by CONST_BITS - PASS1_BITS then CONST_BITS + PASS1_BITS, int32 wrap.
+    Chroma of subsampled modes uses ny/nx = sampling factor * n, so it is
+    reduced less than luma (no upsampling at scale >= 2).
+    """
+    if nx is None:
+        nx = ny
+    mat1 = np.asarray(S.reduced_idct_matrix(ny), np.int32)
+    mat2 = np.asarray(S.reduced_idct_matrix(nx), np.int32)
+    x = coeffs[..., :ny, :nx].astype(np.int32)
+    # Pass 1 along the vertical-frequency axis.
+    y = S.descale(np.einsum("kv,...vu->...ku", mat1, x).astype(np.int32),
+                  S.CONST_BITS - S.PASS1_BITS)
+    # Pass 2 along the horizontal-frequency axis.
+    out = S.descale(np.einsum("pu,...ku->...kp", mat2, y).astype(np.int32),
+                    S.CONST_BITS + S.PASS1_BITS)
+    if clamp:
+        out = np.clip(out, S.SAMPLE_MIN, S.SAMPLE_MAX)
+    return out
+
+
 def dequantize(coeffs: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """Dequantize raw coefficients: elementwise multiply + int16 clamp.
 
