@@ -37,35 +37,42 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
-                     "height", "width"),
+                     "height", "width", "scale"),
 )
 def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
                       lane_tile: int, interpret: bool, batch: int,
-                      gh: int, gw: int, height: int, width: int):
+                      gh: int, gw: int, height: int, width: int,
+                      scale: int = 1):
     raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
                            lane_tile=lane_tile, interpret=interpret,
-                           raw=True)
+                           raw=True, scale=scale)
     v, h = mode.v, mode.h
+    n = 8 // scale
     per_img = gh * gw
-    # [3, V*H, 64, B*M] kernel-native -> [B, gh*V*8, gw*H*8, 3] raster
+    # [3, V*H, nn, B*M] kernel-native -> [B, gh*V*n, gw*H*n, 3] raster
     # (one fused relayout on device instead of two).
     img = raw[..., : batch * per_img]
-    img = img.reshape(3, v, h, 8, 8, batch, gh, gw)
+    img = img.reshape(3, v, h, n, n, batch, gh, gw)
     img = img.transpose(5, 6, 1, 3, 7, 2, 4, 0)
-    img = img.reshape(batch, gh * v * 8, gw * h * 8, 3)
+    img = img.reshape(batch, gh * v * n, gw * h * n, 3)
     return img[:, :height, :width, :]
 
 
 def decode_same_size_batch(
     blobs: Sequence[bytes],
     lane_tile: int = LANE_TILE,
+    scale: int = 1,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
 
     All images must share dimensions and sampling mode.  Returns the device
     array (uint8, still on chip — feed it straight into augmentation or a
-    model) and the parsed headers.
+    model) and the parsed headers.  ``scale`` in {1, 2, 4, 8} decodes at
+    reduced resolution (H and W become ceil(dim/scale)) via the reduced
+    IDCT — ~scale^2 less device work for pipelines that downsize anyway.
     """
+    if scale not in (1, 2, 4, 8):
+        raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     if not blobs:
         raise ValueError("empty batch")
     headers = [scan_jpeg(b) for b in blobs]
@@ -96,5 +103,6 @@ def decode_same_size_batch(
         jnp.asarray(qpool, jnp.float32),
         mode=mode, lane_tile=lane_tile, interpret=_interpret(),
         batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
-        height=h0.height, width=h0.width)
+        height=-(-h0.height // scale), width=-(-h0.width // scale),
+        scale=scale)
     return out, headers

@@ -42,3 +42,17 @@ class TestSameSizeBatch:
         b = encode_jpeg(photo_image, quality=85, sampling="4:4:4")
         with pytest.raises(JpegError, match="identical dimensions"):
             decode_same_size_batch([a, b], lane_tile=128)
+
+
+def test_scaled_batch_matches_decode_scaled(photo_image):
+    from pim_jpeg_decoder_tpu.models.input_pipeline import (
+        decode_same_size_batch)
+    from pim_jpeg_decoder_tpu.models.pipeline import decode_scaled
+
+    blobs = [encode_jpeg(photo_image, quality=q, sampling="4:2:0")
+             for q in (85, 60)]
+    out, headers = decode_same_size_batch(blobs, lane_tile=128, scale=2)
+    out = np.asarray(out)
+    for i, b in enumerate(blobs):
+        np.testing.assert_array_equal(out[i], decode_scaled(b, 2,
+                                                            lane_tile=128))
