@@ -19,12 +19,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         description="TPU-native baseline JPEG -> BMP decoder",
     )
     parser.add_argument("files", nargs="+", help="JPEG files to decode")
-    parser.add_argument("--batch-mcus", type=int, default=16384,
+    parser.add_argument("--batch-mcus", type=int, default=None,
                         help="MCUs per device batch (static shape)")
-    parser.add_argument("--lane-tile", type=int, default=128,
+    parser.add_argument("--lane-tile", type=int, default=None,
                         help="kernel lanes per grid step")
-    parser.add_argument("--prepare-threads", type=int, default=4,
+    parser.add_argument("--prepare-threads", type=int, default=None,
                         help="host entropy-decode threads")
+    parser.add_argument("--scale", type=int, default=1,
+                        choices=(1, 2, 4, 8),
+                        help="decode at 1/scale resolution "
+                             "(reduced IDCT, like djpeg -scale)")
     parser.add_argument("--no-sort", action="store_true",
                         help="do not sort inputs by file size")
     parser.add_argument("--no-write", action="store_true",
@@ -46,6 +50,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         budget_mcus=args.batch_mcus,
         lane_tile=args.lane_tile,
         prepare_threads=args.prepare_threads,
+        scale=args.scale,
     )
     report = engine.decode_paths(args.files, write=not args.no_write,
                                  sort=not args.no_sort)

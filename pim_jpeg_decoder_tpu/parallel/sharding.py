@@ -31,10 +31,11 @@ from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, mode: S.ModeSpec, lane_tile: int,
-                interpret: bool, raw: bool, ycbcr: bool = False):
+                interpret: bool, raw: bool, ycbcr: bool = False,
+                scale: int = 1):
     impl = functools.partial(decode_mcus_impl, mode=mode,
                              lane_tile=lane_tile, interpret=interpret,
-                             raw=raw, ycbcr=ycbcr)
+                             raw=raw, ycbcr=ycbcr, scale=scale)
     # The MCU axis is the last dim of the raw and ycbcr layouts, the first
     # otherwise.
     if ycbcr:
@@ -63,6 +64,7 @@ def decode_mcus_sharded(
     lane_tile: int = LANE_TILE,
     raw: bool = False,
     ycbcr: bool = False,
+    scale: int = 1,
 ) -> jax.Array:
     """Decode MCU tiles sharded across the mesh's chips.
 
@@ -86,5 +88,6 @@ def decode_mcus_sharded(
     qpool = jax.device_put(
         jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
 
-    fn = _sharded_fn(mesh, mode, lane_tile, _interpret(), raw, ycbcr)
+    fn = _sharded_fn(mesh, mode, lane_tile, _interpret(), raw, ycbcr,
+                     scale)
     return fn(coeffs, qidx, qpool)

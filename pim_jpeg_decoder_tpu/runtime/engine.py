@@ -31,6 +31,7 @@ from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
 from pim_jpeg_decoder_tpu.io.bmp import write_bmp
 from pim_jpeg_decoder_tpu.models.pipeline import (
     assemble_raster_raw,
+    assemble_raster_raw_scaled,
     assemble_raster_ycbcr,
     entropy_decode,
     output_path,
@@ -102,11 +103,12 @@ class DecodeEngine:
                  lane_tile: Optional[int] = None,
                  prepare_threads: Optional[int] = None,
                  keep_rgb: bool = False,
+                 scale: Optional[int] = None,
                  config: Optional["EngineConfig"] = None):
         from pim_jpeg_decoder_tpu.utils.config import EngineConfig
         cfg = config or EngineConfig.from_env(
             budget_mcus=budget_mcus, lane_tile=lane_tile,
-            prepare_threads=prepare_threads)
+            prepare_threads=prepare_threads, scale=scale)
         cfg.validate()
         self.config = cfg
         self.budget_mcus = cfg.budget_mcus
@@ -114,6 +116,7 @@ class DecodeEngine:
         self.prepare_threads = cfg.prepare_threads
         self.max_images = cfg.max_images_per_batch
         self.max_launch_mcus = cfg.max_launch_mcus
+        self.scale = cfg.scale
         self.transport = cfg.transport
         self.keep_rgb = keep_rgb
 
@@ -179,16 +182,19 @@ class DecodeEngine:
         cols = header.mcu_cols
         rows_per = max(1, self.max_launch_mcus // cols)
         px_h = 8 * mode.v
+        out_h = -(-header.height // self.scale)
+        out_w = -(-header.width // self.scale)
         acc = _BandAccumulator(
             prepared.name, prepared.uid, header,
-            np.empty((header.height, header.width, 3), np.uint8),
+            np.empty((out_h, out_w, 3), np.uint8),
             remaining=-(-header.mcu_rows // rows_per))
         batches: List[Batch] = []
         for r0 in range(0, header.mcu_rows, rows_per):
             rows = min(rows_per, header.mcu_rows - r0)
-            y0 = r0 * px_h
+            y0 = r0 * px_h // self.scale
             band_header = dataclasses.replace(
-                header, height=min(rows * px_h, header.height - y0))
+                header, height=min(rows * px_h,
+                                   header.height - r0 * px_h))
             band = PreparedImage(
                 prepared.name, band_header,
                 prepared.coeffs[r0 * cols:(r0 + rows) * cols],
@@ -203,6 +209,8 @@ class DecodeEngine:
     def _use_ycbcr(self, mode: S.ModeSpec) -> bool:
         """YCbCr wire transport whenever it reduces D2H bytes (all modes
         except 4:4:4, where the plane counts are equal)."""
+        if self.scale != 1:
+            return False  # scaled decode emits reduced RGB directly
         if self.transport == "rgb":
             return False
         if self.transport == "ycbcr":
@@ -225,10 +233,10 @@ class DecodeEngine:
                 return decode_mcus_sharded(
                     batch.coeffs, batch.qidx, batch.qpool, batch.mode,
                     mesh=self._mesh, lane_tile=self.lane_tile,
-                    raw=not ycbcr, ycbcr=ycbcr)
+                    raw=not ycbcr, ycbcr=ycbcr, scale=self.scale)
             return decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
                                batch.mode, lane_tile=self.lane_tile,
-                               raw=not ycbcr, ycbcr=ycbcr)
+                               raw=not ycbcr, ycbcr=ycbcr, scale=self.scale)
 
     def _finish_batch(self, batch: Batch, raw_rgb_dev, timers: StageTimers,
                       write: bool, results: Dict[int, FileResult]) -> None:
@@ -241,6 +249,9 @@ class DecodeEngine:
                 n = img.header.num_mcus
                 if ycbcr:
                     rgb = assemble_raster_ycbcr(img.header, raw, mcu_off=off)
+                elif self.scale != 1:
+                    rgb = assemble_raster_raw_scaled(
+                        img.header, raw[..., off:off + n], self.scale)
                 else:
                     rgb = assemble_raster_raw(img.header,
                                               raw[..., off:off + n])

@@ -36,6 +36,8 @@ class EngineConfig:
     # memory for arbitrarily large inputs; the reference instead rejects
     # them — "Too high resolution", reference: src/decoder_host.cpp:146-149).
     max_launch_mcus: int = 65536
+    # Decode at 1/scale resolution (reduced IDCT; 1 = full).
+    scale: int = 1
     # Device->host output transport: "rgb" fetches decoded RGB (3 B/px);
     # "ycbcr" fetches level-shifted subsampled YCbCr planes (1.5 B/px for
     # 4:2:0) and finishes upsample+color on the host (bit-identical, C++
@@ -54,6 +56,7 @@ class EngineConfig:
             "PIM_JPEG_TPU_NUM_DEVICES": ("num_devices", int),
             "PIM_JPEG_TPU_TRANSPORT": ("transport", str),
             "PIM_JPEG_TPU_MAX_LAUNCH": ("max_launch_mcus", int),
+            "PIM_JPEG_TPU_SCALE": ("scale", int),
         }
         for env, (field, conv) in mapping.items():
             if env in os.environ:
@@ -79,6 +82,8 @@ class EngineConfig:
         if self.transport not in ("auto", "rgb", "ycbcr"):
             raise ValueError(
                 f"transport must be auto/rgb/ycbcr, got {self.transport!r}")
+        if self.scale not in (1, 2, 4, 8):
+            raise ValueError(f"scale must be 1, 2, 4 or 8, got {self.scale}")
         if self.max_launch_mcus < self.lane_tile:
             raise ValueError(
                 f"max_launch_mcus ({self.max_launch_mcus}) must be >= "

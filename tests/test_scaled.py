@@ -140,3 +140,36 @@ class TestDecodeScaledApi:
         data = encode_jpeg(photo_image, quality=85)
         with pytest.raises(ValueError):
             decode_scaled(data, 3)
+
+
+class TestEngineScale:
+    def test_engine_scaled_matches_decode_scaled(self, photo_image):
+        from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+
+        blobs = [
+            ("a", encode_jpeg(photo_image, quality=85, sampling="4:2:0")),
+            ("g", encode_jpeg(photo_image, quality=85, grayscale=True)),
+        ]
+        engine = DecodeEngine(budget_mcus=1024, lane_tile=LANE_TILE,
+                              keep_rgb=True, scale=2)
+        report = engine.decode_named_blobs(blobs)
+        assert report.ok_count == 2, [r.error for r in report.results]
+        for (name, data), res in zip(blobs, report.results):
+            np.testing.assert_array_equal(
+                res.rgb, decode_scaled(data, 2, lane_tile=LANE_TILE),
+                err_msg=name)
+
+    def test_engine_scaled_chunked(self, rng):
+        """Chunked (banded) decode composes with scale."""
+        from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+        from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+        img = rng.integers(0, 256, (250, 210, 3), dtype=np.uint8)
+        data = encode_jpeg(img, quality=80, sampling="4:2:0")  # 224 MCUs
+        cfg = EngineConfig(budget_mcus=128, lane_tile=128,
+                           prepare_threads=1, max_launch_mcus=128, scale=2)
+        engine = DecodeEngine(keep_rgb=True, config=cfg)
+        report = engine.decode_named_blobs([("huge", data)])
+        assert report.ok_count == 1, [r.error for r in report.results]
+        np.testing.assert_array_equal(
+            report.results[0].rgb, decode_scaled(data, 2, lane_tile=128))
