@@ -173,3 +173,41 @@ class TestEngineScale:
         assert report.ok_count == 1, [r.error for r in report.results]
         np.testing.assert_array_equal(
             report.results[0].rgb, decode_scaled(data, 2, lane_tile=128))
+
+
+class TestScaledExtremeValues:
+    """Adversarial inputs through the reduced-IDCT path: int32 wrap and
+    clamp regions must agree between kernel and oracle by the shared spec."""
+
+    @pytest.mark.parametrize("scale", [2, 4, 8])
+    @pytest.mark.parametrize("mode_key", sorted(S.MODES))
+    def test_extreme_matches_oracle(self, mode_key, scale):
+        mode = S.mode_for(mode_key)
+        n = 8 // scale
+        rng = np.random.default_rng((hash(mode_key) ^ scale) % 2**31)
+        m = LANE_TILE
+        coeffs = rng.integers(-32768, 32768, (m, mode.g, 64)).astype(np.int16)
+        coeffs[0] = 32767
+        coeffs[1] = -32768
+        qpool = rng.integers(1, 65536, (4, mode.g, 64)).astype(np.float32)
+        qidx = (np.arange(m) % 4).astype(np.int32)
+
+        got = np.asarray(decode_mcus(coeffs, qidx, qpool, mode,
+                                     lane_tile=LANE_TILE, scale=scale))
+
+        deq = dequantize(coeffs, qpool[qidx].astype(np.uint32))
+        blocks = deq.reshape(m, mode.g, 8, 8)
+        gy = mode.luma_slots
+        spat = reduced_idct_blocks(blocks[:, :gy], n)
+        if mode.ncomp == 1:
+            y = np.clip(spat[:, 0] + 128, 0, 255).astype(np.uint8)
+            want = np.repeat(y.reshape(m, n * n, 1), 3, axis=2)
+            np.testing.assert_array_equal(got[:, 0], want)
+            return
+        chroma = reduced_idct_blocks(blocks[:, gy:], mode.v * n, mode.h * n)
+        for s in range(gy):
+            qv, qh = mode.luma_slot_pos(s)
+            cb = chroma[:, 0, qv * n:(qv + 1) * n, qh * n:(qh + 1) * n]
+            cr = chroma[:, 1, qv * n:(qv + 1) * n, qh * n:(qh + 1) * n]
+            want = ycbcr_to_rgb(spat[:, s], cb, cr).reshape(m, n * n, 3)
+            np.testing.assert_array_equal(got[:, s], want)
