@@ -25,7 +25,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="kernel lanes per grid step")
     parser.add_argument("--prepare-threads", type=int, default=None,
                         help="host entropy-decode threads")
-    parser.add_argument("--scale", type=int, default=1,
+    parser.add_argument("--scale", type=int, default=None,
                         choices=(1, 2, 4, 8),
                         help="decode at 1/scale resolution "
                              "(reduced IDCT, like djpeg -scale)")

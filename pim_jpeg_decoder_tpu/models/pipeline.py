@@ -83,16 +83,7 @@ def assemble_raster_raw(header: JpegHeader, raw_rgb: np.ndarray) -> np.ndarray:
     Same single vectorized pass as :func:`assemble_raster_slots`, consuming
     the raw (transpose-free, ~4x faster on device) kernel layout.
     """
-    mode = S.mode_for(header.mode_key)
-    gh, gw = header.mcu_rows, header.mcu_cols
-    v, h = mode.v, mode.h
-    img = (
-        raw_rgb[..., : gh * gw]
-        .reshape(3, v, h, 8, 8, gh, gw)
-        .transpose(5, 1, 3, 6, 2, 4, 0)
-        .reshape(gh * v * 8, gw * h * 8, 3)
-    )
-    return np.ascontiguousarray(img[: header.height, : header.width])
+    return assemble_raster_raw_scaled(header, raw_rgb, 1)
 
 
 def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
@@ -187,8 +178,7 @@ class TpuJpegDecoder:
         # planes when that reduces D2H, finish upsample+color on the host
         # (bit-identical; see assemble_raster_ycbcr).
         ycbcr = (self.transport == "ycbcr"
-                 or (self.transport == "auto"
-                     and mode.g < 3 * mode.luma_slots))
+                 or (self.transport == "auto" and mode.ycbcr_saves_bytes))
         if ycbcr:
             planes = np.asarray(decode_mcus(
                 padded, qidx, qpool, mode, lane_tile=self.lane_tile,
@@ -286,7 +276,7 @@ def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,
     qidx = np.zeros(m_pad, np.int32)
     qpool = build_qpool([header], mode)
 
-    if mode.g < 3 * mode.luma_slots:
+    if mode.ycbcr_saves_bytes:
         planes = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                         lane_tile=lane_tile, ycbcr=True))
         raster = assemble_raster_ycbcr(sub_header, planes)

@@ -99,8 +99,11 @@ struct BitReader {
   }
 
   // Value bits taken immediately after decode_symbol need no refill: the
-  // lookup's fill() left cnt >= 33 and the symbol consumed <= 16 bits, so
-  // >= 17 bits remain — enough for any DC (<= 11) or AC (<= 15) magnitude.
+  // lookup's fill() left cnt >= 32 (early-out only when cnt > 32; the fast
+  // path adds exactly 32) and the symbol consumed <= 16 bits, so >= 16
+  // bits remain — enough for the baseline 8-bit maxima (DC <= 11,
+  // AC <= 10).  NOTE the margin is exactly 1 bit over a 15-bit magnitude;
+  // re-verify before reusing for wider magnitudes (e.g. 12-bit precision).
   inline uint32_t take_nofill(int32_t n) {
     if (n == 0) return 0;
     uint32_t v = static_cast<uint32_t>((buf >> (cnt - n)) & ((1u << n) - 1u));

@@ -124,6 +124,12 @@ class ModeSpec:
         return self.h * self.v
 
     @property
+    def ycbcr_saves_bytes(self) -> bool:
+        """True when YCbCr wire transport (g planes) carries fewer bytes
+        than RGB (3 per luma slot) — every mode except 4:4:4."""
+        return self.g < 3 * self.luma_slots
+
+    @property
     def mcu_px_w(self) -> int:
         return 8 * self.h
 

@@ -28,7 +28,8 @@ import numpy as np
 
 from pim_jpeg_decoder_tpu.codec.header import JpegHeader
 from pim_jpeg_decoder_tpu.ops import specs as S
-from pim_jpeg_decoder_tpu.ops.decode_kernel import MAX_IMAGES_PER_BATCH
+from pim_jpeg_decoder_tpu.ops.decode_kernel import (LANE_TILE,
+                                                    MAX_IMAGES_PER_BATCH)
 
 
 def sort_by_size(paths: Sequence[str]) -> List[str]:
@@ -74,7 +75,7 @@ class BatchPacker:
 
     def __init__(self, mode: S.ModeSpec, budget_mcus: int,
                  max_images: int = MAX_IMAGES_PER_BATCH,
-                 lane_tile: int = 512):
+                 lane_tile: int = LANE_TILE):
         self.mode = mode
         self.budget = budget_mcus
         self.max_images = max_images
@@ -125,7 +126,7 @@ class ModeRouter:
 
     def __init__(self, budget_mcus: int,
                  max_images: int = MAX_IMAGES_PER_BATCH,
-                 lane_tile: int = 512):
+                 lane_tile: int = LANE_TILE):
         self.budget = budget_mcus
         self.max_images = max_images
         self.lane_tile = lane_tile

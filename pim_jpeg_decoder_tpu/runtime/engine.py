@@ -171,40 +171,50 @@ class DecodeEngine:
             budget = num_mcus
         return -(-budget // lt) * lt
 
-    def _split_bands(self, prepared: PreparedImage) -> List[Batch]:
-        """MCU-row-aligned chunks for an over-max_launch_mcus image.
+    def _split_bands(self, prepared: PreparedImage):
+        """MCU-aligned tiles for an over-max_launch_mcus image (generator).
 
-        Each band decodes as its own bucket-aligned launch; the decoded
-        rasters paste into one shared accumulator (the consumer thread is
-        the only writer, so no locking)."""
+        Tiles are whole MCU sub-grids: full-width row bands when a row fits
+        the launch cap, 2-D tiles otherwise (ultra-wide images), so no
+        single launch exceeds max_launch_mcus.  Each tile decodes as its
+        own bucket-aligned launch; the decoded rasters paste into one
+        shared accumulator (the consumer thread is the only writer, so no
+        locking).  Yielding tiles one at a time keeps peak host memory at
+        a few tiles (queue backpressure), not a full second copy."""
         header = prepared.header
         mode = S.mode_for(header.mode_key)
-        cols = header.mcu_cols
-        rows_per = max(1, self.max_launch_mcus // cols)
-        px_h = 8 * mode.v
+        gw, gh = header.mcu_cols, header.mcu_rows
+        cols_per = min(gw, self.max_launch_mcus)
+        rows_per = max(1, self.max_launch_mcus // cols_per)
+        px_h, px_w = 8 * mode.v, 8 * mode.h
         out_h = -(-header.height // self.scale)
         out_w = -(-header.width // self.scale)
+        n_tiles = (-(-gh // rows_per)) * (-(-gw // cols_per))
         acc = _BandAccumulator(
             prepared.name, prepared.uid, header,
             np.empty((out_h, out_w, 3), np.uint8),
-            remaining=-(-header.mcu_rows // rows_per))
-        batches: List[Batch] = []
-        for r0 in range(0, header.mcu_rows, rows_per):
-            rows = min(rows_per, header.mcu_rows - r0)
-            y0 = r0 * px_h // self.scale
-            band_header = dataclasses.replace(
-                header, height=min(rows * px_h,
-                                   header.height - r0 * px_h))
-            band = PreparedImage(
-                prepared.name, band_header,
-                prepared.coeffs[r0 * cols:(r0 + rows) * cols],
-                uid=prepared.uid, band_target=(acc, y0))
-            router = ModeRouter(self._dedicated_budget(
-                band_header.num_mcus), max_images=1,
-                lane_tile=self.lane_tile)
-            router.add(band)
-            batches.extend(router.flush_all())
-        return batches
+            remaining=n_tiles)
+        grid = prepared.coeffs[: gh * gw].reshape(gh, gw, mode.g, 64)
+        for r0 in range(0, gh, rows_per):
+            rows = min(rows_per, gh - r0)
+            for c0 in range(0, gw, cols_per):
+                cols = min(cols_per, gw - c0)
+                tile_header = dataclasses.replace(
+                    header,
+                    height=min(rows * px_h, header.height - r0 * px_h),
+                    width=min(cols * px_w, header.width - c0 * px_w))
+                tile_coeffs = np.ascontiguousarray(
+                    grid[r0:r0 + rows, c0:c0 + cols]).reshape(-1, mode.g, 64)
+                tile = PreparedImage(
+                    prepared.name, tile_header, tile_coeffs,
+                    uid=prepared.uid,
+                    band_target=(acc, r0 * px_h // self.scale,
+                                 c0 * px_w // self.scale))
+                router = ModeRouter(self._dedicated_budget(
+                    tile_header.num_mcus), max_images=1,
+                    lane_tile=self.lane_tile)
+                router.add(tile)
+                yield from router.flush_all()
 
     def _use_ycbcr(self, mode: S.ModeSpec) -> bool:
         """YCbCr wire transport whenever it reduces D2H bytes (all modes
@@ -215,7 +225,7 @@ class DecodeEngine:
             return False
         if self.transport == "ycbcr":
             return True
-        return mode.g < 3 * mode.luma_slots
+        return mode.ycbcr_saves_bytes
 
     def _dispatch_batch(self, batch: Batch, timers: StageTimers):
         """Launch the fused kernel asynchronously (JAX dispatch returns
@@ -256,8 +266,9 @@ class DecodeEngine:
                     rgb = assemble_raster_raw(img.header,
                                               raw[..., off:off + n])
                 if img.band_target is not None:
-                    acc, y0 = img.band_target
-                    acc.raster[y0:y0 + rgb.shape[0]] = rgb
+                    acc, y0, x0 = img.band_target
+                    acc.raster[y0:y0 + rgb.shape[0],
+                               x0:x0 + rgb.shape[1]] = rgb
                     acc.remaining -= 1
                     if acc.remaining > 0 or acc.failed:
                         continue

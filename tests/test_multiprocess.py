@@ -24,7 +24,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_scaling_harness():
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -39,7 +38,12 @@ def test_two_process_scaling_harness():
             cwd=REPO, text=True)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=280) for p in procs]
+    try:
+        outs = [p.communicate(timeout=280) for p in procs]
+    finally:
+        for p in procs:  # a hung rank must not leak (holds the Gloo port)
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
     # Process 0 prints the aggregated JSON line.

@@ -229,3 +229,20 @@ def test_chunked_decode_of_huge_image(rng):
     assert len(report.results) == 1
     np.testing.assert_array_equal(report.results[0].rgb,
                                   decode_bytes_oracle(data).rgb)
+
+
+def test_ultrawide_image_tiles_within_launch_cap(rng):
+    """A single MCU row wider than max_launch_mcus splits into column
+    tiles — no launch exceeds the configured cap."""
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    img = rng.integers(0, 256, (16, 3200, 3), dtype=np.uint8)  # 1x200 MCUs
+    data = encode_jpeg(img, quality=80, sampling="4:2:0")
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=1,
+                       max_launch_mcus=128)
+    engine = DecodeEngine(keep_rgb=True, config=cfg)
+    report = engine.decode_named_blobs([("wide", data)])
+    assert report.ok_count == 1, [r.error for r in report.results]
+    np.testing.assert_array_equal(report.results[0].rgb,
+                                  decode_bytes_oracle(data).rgb)
