@@ -197,6 +197,11 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int,
             # the broadcast/strided-gather upsample from the hot path
             # entirely (the reference does it per pixel,
             # reference: src/decoder_dpu.c:338-355,370).
+            #
+            # The BT.601 chroma terms are likewise computed ONCE at chroma
+            # resolution on the pass-2 column lists and slot-selected for
+            # free — 1/4 the color multiplies for 4:2:0 (replication
+            # commutes with the elementwise term arithmetic too).
             rh, rw = 8 // mode.v, 8 // mode.h
             chroma_cols = {}
             for ci in range(2):
@@ -206,11 +211,32 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int,
                            [rows1[qv * rh + r // mode.v] for r in range(8)])
                     chroma_cols[ci, qv] = _idct_pass2(sel)
 
-            def chroma_slot(ci, qv, qh):
-                cols2 = chroma_cols[ci, qv]
-                if mode.h != 1:
-                    cols2 = [cols2[qh * rw + p // mode.h] for p in range(8)]
-                return _assemble(cols2)
+            term_cols = {}
+            for qv in range(mode.v):
+                cbl = [jnp.clip(c, S.SAMPLE_MIN, S.SAMPLE_MAX)
+                       for c in chroma_cols[0, qv]]
+                crl = [jnp.clip(c, S.SAMPLE_MIN, S.SAMPLE_MAX)
+                       for c in chroma_cols[1, qv]]
+                term_cols[0, qv] = [
+                    S.descale(S.FIX_CR_R * c, S.COLOR_BITS) for c in crl]
+                term_cols[1, qv] = [
+                    S.descale(S.FIX_CB_G * b + S.FIX_CR_G * r, S.COLOR_BITS)
+                    for b, r in zip(cbl, crl)]
+                term_cols[2, qv] = [
+                    S.descale(S.FIX_CB_B * b, S.COLOR_BITS) for b in cbl]
+
+            for s in range(mode.luma_slots):
+                qv, qh = mode.luma_slot_pos(s)
+                y128 = spat[s] + 128
+                for ch in range(3):
+                    cols2 = term_cols[ch, qv]
+                    if mode.h != 1:
+                        cols2 = [cols2[qh * rw + p // mode.h]
+                                 for p in range(8)]
+                    term = jnp.swapaxes(jnp.stack(cols2, axis=0), 0, 1)
+                    out_ref[ch, s * 64:(s + 1) * 64, :] = (
+                        _to_u8(y128 + term, t))
+            return
         else:
             # Scaled decode: chroma covers v x h MCU cells per block, so at
             # scale >= 2 its reduced output is (v*n) x (h*n) — no upsample

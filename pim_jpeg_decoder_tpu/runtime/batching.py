@@ -44,9 +44,9 @@ class PreparedImage:
     header: JpegHeader
     coeffs: np.ndarray          # [num_mcus, g, 64] int16
     uid: int = -1               # engine-assigned input index (names may repeat)
-    # Set for MCU-row-aligned chunks of an over-max_launch_mcus image:
-    # (accumulator, raster row offset); the engine pastes each decoded band
-    # and emits one result when the last band lands.
+    # Set for MCU-aligned tiles of an over-max_launch_mcus image:
+    # (accumulator, raster row offset, raster col offset); the engine pastes
+    # each decoded tile and emits one result when the last tile lands.
     band_target: Optional[Tuple] = None
 
 
