@@ -52,8 +52,9 @@ def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
     # [3, V*H, nn, B*M] kernel-native -> [B, gh*V*n, gw*H*n, 3] raster
     # (one fused relayout on device instead of two).
     img = raw[..., : batch * per_img]
+    # Kernel-native slot pixel order is COLUMN-major: reshape as (px, py).
     img = img.reshape(3, v, h, n, n, batch, gh, gw)
-    img = img.transpose(5, 6, 1, 3, 7, 2, 4, 0)
+    img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
     img = img.reshape(batch, gh * v * n, gw * h * n, 3)
     return img[:, :height, :width, :]
 

@@ -68,10 +68,11 @@ def assemble_raster_slots(header: JpegHeader, slot_rgb: np.ndarray) -> np.ndarra
     mode = S.mode_for(header.mode_key)
     gh, gw = header.mcu_rows, header.mcu_cols
     v, h = mode.v, mode.h
+    # Kernel-native slot pixel order is COLUMN-major: index = px*8 + py.
     img = (
         slot_rgb[: gh * gw]
         .reshape(gh, gw, v, h, 8, 8, 3)
-        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .transpose(0, 2, 5, 1, 3, 4, 6)
         .reshape(gh * v * 8, gw * h * 8, 3)
     )
     return np.ascontiguousarray(img[: header.height, : header.width])
@@ -94,10 +95,11 @@ def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
     gh, gw = header.mcu_rows, header.mcu_cols
     v, h = mode.v, mode.h
     n = 8 // scale
+    # Kernel-native slot pixel order is COLUMN-major: reshape as (px, py).
     img = (
         raw_rgb[..., : gh * gw]
         .reshape(3, v, h, n, n, gh, gw)
-        .transpose(5, 1, 3, 6, 2, 4, 0)
+        .transpose(5, 1, 4, 6, 2, 3, 0)
         .reshape(gh * v * n, gw * h * n, 3)
     )
     out_h = -(-header.height // scale)
@@ -133,14 +135,17 @@ def assemble_raster_ycbcr(header: JpegHeader, planes: np.ndarray,
 
     from pim_jpeg_decoder_tpu.oracle.color import chroma_subblock, ycbcr_to_rgb
     centered = stored.astype(np.int32) - 128                # spec sample range
-    ps = centered.transpose(2, 0, 1).reshape(m, mode.g, 8, 8)
+    # Wire planes are column-major (px*8 + py); swap to (py, px) blocks.
+    ps = (centered.transpose(2, 0, 1).reshape(m, mode.g, 8, 8)
+          .swapaxes(-1, -2))
     gy = mode.luma_slots
     slots = np.empty((m, gy, 64, 3), np.uint8)
     for s in range(gy):
         qv, qh = mode.luma_slot_pos(s)
         cb = chroma_subblock(ps[:, gy], qv, qh, mode.v, mode.h)
         cr = chroma_subblock(ps[:, gy + 1], qv, qh, mode.v, mode.h)
-        slots[:, s] = ycbcr_to_rgb(ps[:, s], cb, cr).reshape(m, 64, 3)
+        rgb = ycbcr_to_rgb(ps[:, s], cb, cr)                # [m, py, px, 3]
+        slots[:, s] = rgb.swapaxes(1, 2).reshape(m, 64, 3)  # p-major
     return assemble_raster_slots(header, slots)
 
 

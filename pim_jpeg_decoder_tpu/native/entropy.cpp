@@ -604,7 +604,8 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
         if (row >= height) continue;
         uint8_t* orow = out + static_cast<int64_t>(row) * width * 3;
         for (int cx = 0; cx < 8; ++cx) {
-          const int c = cy * 8 + cx;
+          // Wire planes use COLUMN-major pixel order (px*8 + py).
+          const int c = cx * 8 + cy;
           const int64_t base = mcu_off + static_cast<int64_t>(gr) * mcu_cols;
           const uint8_t* yb =
               planes + static_cast<int64_t>(s * 64 + c) * m_total + base;
@@ -619,7 +620,7 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
             continue;
           }
           // Nearest-neighbor upsample: this luma sample's chroma source.
-          const int cc = ((qv * 8 + cy) / v) * 8 + (qh * 8 + cx) / h;
+          const int cc = ((qh * 8 + cx) / h) * 8 + (qv * 8 + cy) / v;
           const uint8_t* cbb =
               planes + static_cast<int64_t>(gy * 64 + cc) * m_total + base;
           const uint8_t* crb =

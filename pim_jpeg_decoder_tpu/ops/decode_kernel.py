@@ -80,6 +80,16 @@ def _assemble(cols2):
     return jnp.clip(spat, S.SAMPLE_MIN, S.SAMPLE_MAX)
 
 
+def _assemble_pm(cols2):
+    """list over p of [r, T] -> [p, r, T] (COLUMN-major pixel order),
+    clamped to the sample range.
+
+    The kernel-native pixel order within a slot is px*n + py: skipping the
+    final swapaxes saves ~25 us per 16K-MCU 4:2:0 launch on v5e (~27%); the
+    host assembly/C++ converter absorb the order for free."""
+    return jnp.clip(jnp.stack(cols2, axis=0), S.SAMPLE_MIN, S.SAMPLE_MAX)
+
+
 def _idct_block(x32):
     """[8, 8, T] int32 coefficients -> [8, 8, T] int32 samples (clamped)."""
     return _assemble(_idct_pass2(_idct_pass1(x32)))
@@ -176,10 +186,10 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int,
 
         def idct_slot(s):
             if scale == 1:
-                return _idct_block(deq_slot(s))
-            return _assemble(_reduced_idct_lists(deq_slot(s), n, n))
+                return _assemble_pm(_idct_pass2(_idct_pass1(deq_slot(s))))
+            return _assemble_pm(_reduced_idct_lists(deq_slot(s), n, n))
 
-        spat = [idct_slot(s) for s in range(mode.luma_slots)]
+        spat = [idct_slot(s) for s in range(mode.luma_slots)]  # [px, py, T]
 
         if mode.ncomp == 1:
             y128 = jnp.clip(spat[0] + 128, 0, 255).astype(jnp.uint8)
@@ -233,7 +243,7 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int,
                     if mode.h != 1:
                         cols2 = [cols2[qh * rw + p // mode.h]
                                  for p in range(8)]
-                    term = jnp.swapaxes(jnp.stack(cols2, axis=0), 0, 1)
+                    term = jnp.stack(cols2, axis=0)      # [px, py, T]
                     out_ref[ch, s * 64:(s + 1) * 64, :] = (
                         _to_u8(y128 + term, t))
             return
@@ -252,7 +262,7 @@ def _make_kernel(mode: S.ModeSpec, lane_tile: int, num_images: int,
 
             def chroma_slot(ci, qv, qh):
                 cols2 = chroma_out[ci][qh * n:(qh + 1) * n]
-                return _assemble(
+                return _assemble_pm(
                     [c[qv * n:(qv + 1) * n] for c in cols2])
 
         for s in range(mode.luma_slots):
@@ -286,7 +296,8 @@ def _make_kernel_ycbcr(mode: S.ModeSpec, lane_tile: int, num_images: int):
             ).astype(jnp.int32)
             deq = coeff_ref[s].astype(jnp.int32) * q
             deq = jnp.clip(deq, -S.DEQUANT_CLAMP - 1, S.DEQUANT_CLAMP)
-            spat = _idct_block(deq.reshape(8, 8, t))   # clamped [-128, 127]
+            spat = _assemble_pm(_idct_pass2(_idct_pass1(
+                deq.reshape(8, 8, t))))                # [px, py, T] clamped
             out_ref[s] = (spat.reshape(64, t) + 128).astype(jnp.uint8)
 
     return kernel
@@ -311,6 +322,9 @@ def decode_mcus_impl(
     HBM copy), so the raw path touches HBM exactly twice (coefficients in,
     RGB out).  Host raster assembly absorbs the layout at no extra cost, so
     the engine uses raw=True.
+
+    Pixel order within a slot is COLUMN-major (index = px*n + py) in every
+    output layout — see _assemble_pm.
     """
     m = coeffs.shape[0]
     q = qpool.shape[0]

@@ -63,10 +63,10 @@ def _color_kernel(mode: S.ModeSpec, lane_tile: int):
         spat = [spat_ref[s].astype(jnp.int32).reshape(8, 8, t)
                 for s in range(mode.g)]
         if mode.ncomp == 1:
-            y128 = jnp.clip(spat[0] + 128, 0, 255).astype(jnp.uint8)
-            flat = y128.reshape(64, t)
+            y128 = jnp.clip(jnp.swapaxes(spat[0], 0, 1) + 128,
+                            0, 255).astype(jnp.uint8)
             for ch in range(3):
-                out_ref[ch, 0:64, :] = flat
+                out_ref[ch, 0:64, :] = y128.reshape(64, t)
             return
         cb, cr = spat[mode.luma_slots], spat[mode.luma_slots + 1]
         for s in range(mode.luma_slots):
@@ -74,7 +74,9 @@ def _color_kernel(mode: S.ModeSpec, lane_tile: int):
             cb_s = _upsample(cb, qv, qh, mode.v, mode.h)
             cr_s = _upsample(cr, qv, qh, mode.v, mode.h)
             for ch, plane in enumerate(_color(spat[s], cb_s, cr_s)):
-                out_ref[ch, s * 64:(s + 1) * 64, :] = _to_u8(plane, t)
+                # p-major pixel order, matching the fused kernel's contract.
+                out_ref[ch, s * 64:(s + 1) * 64, :] = (
+                    _to_u8(jnp.swapaxes(plane, 0, 1), t))
     return kernel
 
 

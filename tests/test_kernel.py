@@ -29,8 +29,9 @@ def slots_to_mcu_raster(mode: S.ModeSpec, slot_rgb: np.ndarray) -> np.ndarray:
     out = np.empty((m, mode.mcu_px_h, mode.mcu_px_w, 3), np.uint8)
     for s in range(mode.luma_slots):
         qv, qh = mode.luma_slot_pos(s)
+        # Kernel slot pixels are COLUMN-major (px*8 + py).
         out[:, qv * 8:(qv + 1) * 8, qh * 8:(qh + 1) * 8, :] = (
-            slot_rgb[:, s].reshape(m, 8, 8, 3))
+            slot_rgb[:, s].reshape(m, 8, 8, 3).transpose(0, 2, 1, 3))
     return out
 
 
@@ -128,11 +129,12 @@ class TestPipelineEndToEnd:
             np.uint8).reshape(m, mode.luma_slots, 64, 3)
         img = assemble_raster_slots(header, slot_rgb)
         assert img.shape == (32, 32, 3)
-        # Pixel (y, x): MCU (y//16, x//16), luma slot ((y%16)//8, (x%16)//8).
+        # Pixel (y, x): MCU (y//16, x//16), luma slot ((y%16)//8, (x%16)//8),
+        # slot pixels COLUMN-major (px*8 + py).
         for y, x in [(0, 0), (7, 9), (12, 3), (15, 15), (17, 2), (31, 31)]:
             mcu = (y // 16) * 2 + (x // 16)
             slot = ((y % 16) // 8) * 2 + ((x % 16) // 8)
-            pix = (y % 8) * 8 + (x % 8)
+            pix = (x % 8) * 8 + (y % 8)
             np.testing.assert_array_equal(img[y, x], slot_rgb[mcu, slot, pix])
 
 
@@ -207,7 +209,7 @@ class TestKernelExtremeValues:
         spat = idct_blocks(deq.reshape(m, mode.g, 8, 8))
         if mode.ncomp == 1:
             y = np.clip(spat[:, 0] + 128, 0, 255).astype(np.uint8)
-            want = np.repeat(y.reshape(m, 64, 1), 3, axis=2)
+            want = np.repeat(y.swapaxes(1, 2).reshape(m, 64, 1), 3, axis=2)
             np.testing.assert_array_equal(got[:, 0], want)
             return
         for s in range(mode.luma_slots):
@@ -216,7 +218,8 @@ class TestKernelExtremeValues:
                                  mode.v, mode.h)
             cr = chroma_subblock(spat[:, mode.luma_slots + 1], qv, qh,
                                  mode.v, mode.h)
-            want = ycbcr_to_rgb(spat[:, s], cb, cr).reshape(m, 64, 3)
+            want = (ycbcr_to_rgb(spat[:, s], cb, cr)
+                    .swapaxes(1, 2).reshape(m, 64, 3))
             np.testing.assert_array_equal(got[:, s], want)
 
 

@@ -74,7 +74,7 @@ def kernel_vs_oracle_scaled(img, sampling, grayscale, scale):
     spat = reduced_idct_blocks(blocks[:, :gy], n)
     if mode.ncomp == 1:
         y = np.clip(spat[:, 0] + 128, 0, 255).astype(np.uint8)
-        want = np.repeat(y.reshape(m, n * n, 1), 3, axis=2)
+        want = np.repeat(y.swapaxes(1, 2).reshape(m, n * n, 1), 3, axis=2)
         np.testing.assert_array_equal(got[:, 0], want)
         return
     # Chroma is reduced per-axis to (v*n) x (h*n): no upsampling, each
@@ -84,7 +84,8 @@ def kernel_vs_oracle_scaled(img, sampling, grayscale, scale):
         qv, qh = mode.luma_slot_pos(s)
         cb = chroma[:, 0, qv * n:(qv + 1) * n, qh * n:(qh + 1) * n]
         cr = chroma[:, 1, qv * n:(qv + 1) * n, qh * n:(qh + 1) * n]
-        want = ycbcr_to_rgb(spat[:, s], cb, cr).reshape(m, n * n, 3)
+        want = (ycbcr_to_rgb(spat[:, s], cb, cr)
+                .swapaxes(1, 2).reshape(m, n * n, 3))
         np.testing.assert_array_equal(got[:, s], want)
 
 
@@ -201,7 +202,8 @@ class TestScaledExtremeValues:
         spat = reduced_idct_blocks(blocks[:, :gy], n)
         if mode.ncomp == 1:
             y = np.clip(spat[:, 0] + 128, 0, 255).astype(np.uint8)
-            want = np.repeat(y.reshape(m, n * n, 1), 3, axis=2)
+            want = np.repeat(y.swapaxes(1, 2).reshape(m, n * n, 1),
+                             3, axis=2)
             np.testing.assert_array_equal(got[:, 0], want)
             return
         chroma = reduced_idct_blocks(blocks[:, gy:], mode.v * n, mode.h * n)
@@ -209,5 +211,6 @@ class TestScaledExtremeValues:
             qv, qh = mode.luma_slot_pos(s)
             cb = chroma[:, 0, qv * n:(qv + 1) * n, qh * n:(qh + 1) * n]
             cr = chroma[:, 1, qv * n:(qv + 1) * n, qh * n:(qh + 1) * n]
-            want = ycbcr_to_rgb(spat[:, s], cb, cr).reshape(m, n * n, 3)
+            want = (ycbcr_to_rgb(spat[:, s], cb, cr)
+                    .swapaxes(1, 2).reshape(m, n * n, 3))
             np.testing.assert_array_equal(got[:, s], want)
