@@ -338,7 +338,16 @@ class DecodeEngine:
                 if batch is None:
                     break
                 try:
-                    pending.append((batch, self._dispatch_batch(batch, timers)))
+                    dev = self._dispatch_batch(batch, timers)
+                    # Start the D2H transfer immediately so it overlaps the
+                    # host-side assembly/BMP write of the previous batch
+                    # (the D2H half of the reference's copy/exec overlap,
+                    # reference: src/decoder_host.cpp:292-330).
+                    try:
+                        dev.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass  # non-addressable/sharded or older jax
+                    pending.append((batch, dev))
                 except Exception as e:
                     for img, _ in batch.images:
                         if img.band_target is not None:
