@@ -171,6 +171,57 @@ inline bool build_table(const uint8_t* counts, const uint8_t* symbols,
   return true;
 }
 
+// 12-bit fast-AC lookup (libjpeg-turbo style): for AC codes whose
+// (code length + magnitude size) <= 12, one table read yields the zero
+// run, the fully sign-extended coefficient value, and the total bits to
+// consume — symbol decode, magnitude read and EXTEND in a single step.
+// 4096 entries x 4 B = 16 KiB per table (L1-resident).
+struct FastAc {
+  int16_t value;   // sign-extended coefficient
+  int8_t run;      // 0..15 coefficient run; 16 = ZRL; 17 = EOB; -1 = slow
+  uint8_t bits;    // total bits consumed
+};
+
+inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
+                          FastAc* fast) {
+  for (int i = 0; i < 4096; ++i) fast[i].run = -1;
+  int32_t code = 0;
+  int k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    const int n = counts[l - 1];
+    if (l <= 12) {
+      for (int j = 0; j < n; ++j) {
+        const int sym = symbols[k + j];
+        const int run = sym >> 4;
+        const int size = sym & 0x0F;
+        const int32_t base = (code + j) << (12 - l);
+        if (size == 0) {
+          const int8_t r = (sym == 0xF0) ? 16 : 17;   // ZRL : EOB
+          for (int p = 0; p < (1 << (12 - l)); ++p) {
+            fast[base + p].run = r;
+            fast[base + p].bits = static_cast<uint8_t>(l);
+          }
+        } else if (l + size <= 12) {
+          const int tail = 12 - l - size;
+          for (int v = 0; v < (1 << size); ++v) {
+            const int16_t val =
+                static_cast<int16_t>(extend_signed(v, size));
+            const int32_t b2 = base + (v << tail);
+            for (int p = 0; p < (1 << tail); ++p) {
+              fast[b2 + p].value = val;
+              fast[b2 + p].run = static_cast<int8_t>(run);
+              fast[b2 + p].bits = static_cast<uint8_t>(l + size);
+            }
+          }
+        }
+        // else: code fits but magnitude spills past 12 bits -> slow path.
+      }
+    }
+    code = (code + n) << 1;
+    k += n;
+  }
+}
+
 inline int32_t decode_symbol(BitReader& br, const HuffTable& tab,
                              int32_t* out_sym) {
   uint32_t p16 = br.peek16();
@@ -195,7 +246,8 @@ inline int32_t decode_symbol(BitReader& br, const HuffTable& tab,
 }
 
 inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
-                            const HuffTable& ac, int32_t* dc_pred) {
+                            const HuffTable& ac, const FastAc* fast,
+                            int32_t* dc_pred) {
   int32_t t;
   int32_t rc = decode_symbol(br, dc, &t);
   if (rc != OK) return rc;
@@ -207,6 +259,26 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
 
   int32_t k = 1;
   while (k < 64) {
+    // Fast path: one 16 KiB-table read decodes run+value+bits for the
+    // overwhelming majority of AC codes.  Bit accounting is identical to
+    // the slow path (same total drop per coefficient), so truncation
+    // errors surface at the same coefficient.
+    const FastAc fa = fast[br.peek16() >> 4];
+    if (fa.run >= 0) {
+      br.drop(fa.bits);
+      if (br.exhausted()) return ERR_OUT_OF_DATA;
+      if (fa.run < 16) {
+        k += fa.run;
+        if (k > 63) return ERR_AC_RANGE;
+        out[kZigzag[k]] = fa.value;
+        ++k;
+      } else if (fa.run == 16) {
+        k += 16;  // ZRL
+      } else {
+        return OK;  // EOB
+      }
+      continue;
+    }
     int32_t sym;
     rc = decode_symbol(br, ac, &sym);
     if (rc != OK) return rc;
@@ -492,15 +564,20 @@ int32_t pjt_decode_segments(
 
   HuffTable dc_tabs[4];
   HuffTable ac_tabs[4];
+  static thread_local FastAc fast_tabs[4][4096];
   for (int t = 0; t < 4; ++t) {
     if (!build_table(dc_counts + t * 16, dc_symbols + t * 162, &dc_tabs[t]) ||
         !build_table(ac_counts + t * 16, ac_symbols + t * 162, &ac_tabs[t])) {
       return ERR_BAD_ARGS;
     }
+    if (ac_tabs[t].present) {
+      build_fast_ac(ac_counts + t * 16, ac_symbols + t * 162, fast_tabs[t]);
+    }
   }
 
   const HuffTable* slot_dc[10];
   const HuffTable* slot_ac[10];
+  const FastAc* slot_fast[10];
   int32_t slot_ci[10];
   for (int s = 0; s < g; ++s) {
     int32_t ci = slot_comp[s];
@@ -508,6 +585,7 @@ int32_t pjt_decode_segments(
     slot_ci[s] = ci;
     slot_dc[s] = &dc_tabs[comp_dc_id[ci]];
     slot_ac[s] = &ac_tabs[comp_ac_id[ci]];
+    slot_fast[s] = fast_tabs[comp_ac_id[ci]];
   }
 
   const int64_t mcus_per_seg =
@@ -524,7 +602,8 @@ int32_t pjt_decode_segments(
       int16_t* mcu_out = out + m * g * 64;
       for (int s = 0; s < g; ++s) {
         int32_t rc = decode_block(br, mcu_out + s * 64, *slot_dc[s],
-                                  *slot_ac[s], &dc_pred[slot_ci[s]]);
+                                  *slot_ac[s], slot_fast[s],
+                                  &dc_pred[slot_ci[s]]);
         if (rc != OK) {
           *err_mcu = static_cast<int32_t>(m);
           return rc;
