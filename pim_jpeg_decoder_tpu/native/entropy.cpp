@@ -195,12 +195,15 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
         const int run = sym >> 4;
         const int size = sym & 0x0F;
         const int32_t base = (code + j) << (12 - l);
-        if (size == 0) {
+        if (sym == 0x00 || sym == 0xF0) {
           const int8_t r = (sym == 0xF0) ? 16 : 17;   // ZRL : EOB
           for (int p = 0; p < (1 << (12 - l)); ++p) {
             fast[base + p].run = r;
             fast[base + p].bits = static_cast<uint8_t>(l);
           }
+        } else if (size == 0) {
+          // Progressive EOBn symbols are INVALID in a baseline scan: leave
+          // the slow path to report ERR_BAD_AC_SYMBOL identically.
         } else if (l + size <= 12) {
           const int tail = 12 - l - size;
           for (int v = 0; v < (1 << size); ++v) {
