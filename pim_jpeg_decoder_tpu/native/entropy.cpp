@@ -335,13 +335,29 @@ inline int32_t dc_refine(ProgState& st, int32_t* block, int al) {
 }
 
 inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
-                        int ss, int se, int al) {
+                        const FastAc* fast, int ss, int se, int al) {
   if (st.eobrun > 0) {
     --st.eobrun;
     return OK;
   }
   int k = ss;
   while (k <= se) {
+    // Fast path: coefficient and ZRL codes resolve in one table read
+    // (EOB/EOBn stay on the slow path: they carry run-length bits).
+    const FastAc fa = fast[st.br.peek16() >> 4];
+    if (fa.run >= 0 && fa.run <= 16) {
+      st.br.drop(fa.bits);
+      if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+      if (fa.run == 16) {
+        k += 16;  // ZRL
+      } else {
+        k += fa.run;
+        if (k > se) return ERR_AC_RANGE;
+        block[k] = static_cast<int32_t>(fa.value) << al;
+        ++k;
+      }
+      continue;
+    }
     int32_t sym;
     int32_t rc = decode_symbol(st.br, ac, &sym);
     if (rc != OK) return rc;
@@ -463,10 +479,14 @@ int32_t pjt_decode_progressive_scan(
 
   HuffTable dc_tabs[3];
   HuffTable ac_tabs[3];
+  static thread_local FastAc fast_tabs[3][4096];
   for (int i = 0; i < nc; ++i) {
     if (!build_table(dc_counts + i * 16, dc_symbols + i * 162, &dc_tabs[i]) ||
         !build_table(ac_counts + i * 16, ac_symbols + i * 162, &ac_tabs[i])) {
       return ERR_BAD_ARGS;
+    }
+    if (ac_tabs[i].present) {
+      build_fast_ac(ac_counts + i * 16, ac_symbols + i * 162, fast_tabs[i]);
     }
   }
 
@@ -518,7 +538,7 @@ int32_t pjt_decode_progressive_scan(
         rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[0], al)
                      : dc_refine(st, block, al);
       } else {
-        rc = ah == 0 ? ac_first(st, block, ac_tabs[0], ss, se, al)
+        rc = ah == 0 ? ac_first(st, block, ac_tabs[0], fast_tabs[0], ss, se, al)
                      : ac_refine(st, block, ac_tabs[0], ss, se, al);
       }
       if (rc != OK) { *err_unit = static_cast<int32_t>(b); return rc; }
