@@ -179,7 +179,7 @@ inline bool build_table(const uint8_t* counts, const uint8_t* symbols,
 struct FastAc {
   int16_t value;   // sign-extended coefficient
   int8_t run;      // 0..15 coefficient run; 16 = ZRL; 17 = EOB; -1 = slow
-  uint8_t bits;    // total bits consumed
+  uint8_t packed;  // (code_length << 4) | total_bits, both <= 12
 };
 
 inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
@@ -197,15 +197,17 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
         const int32_t base = (code + j) << (12 - l);
         if (sym == 0x00 || sym == 0xF0) {
           const int8_t r = (sym == 0xF0) ? 16 : 17;   // ZRL : EOB
+          const uint8_t pk = static_cast<uint8_t>((l << 4) | l);
           for (int p = 0; p < (1 << (12 - l)); ++p) {
             fast[base + p].run = r;
-            fast[base + p].bits = static_cast<uint8_t>(l);
+            fast[base + p].packed = pk;
           }
         } else if (size == 0) {
           // Progressive EOBn symbols are INVALID in a baseline scan: leave
           // the slow path to report ERR_BAD_AC_SYMBOL identically.
         } else if (l + size <= 12) {
           const int tail = 12 - l - size;
+          const uint8_t pk = static_cast<uint8_t>((l << 4) | (l + size));
           for (int v = 0; v < (1 << size); ++v) {
             const int16_t val =
                 static_cast<int16_t>(extend_signed(v, size));
@@ -213,7 +215,7 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
             for (int p = 0; p < (1 << tail); ++p) {
               fast[b2 + p].value = val;
               fast[b2 + p].run = static_cast<int8_t>(run);
-              fast[b2 + p].bits = static_cast<uint8_t>(l + size);
+              fast[b2 + p].packed = pk;
             }
           }
         }
@@ -263,16 +265,18 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
   int32_t k = 1;
   while (k < 64) {
     // Fast path: one 16 KiB-table read decodes run+value+bits for the
-    // overwhelming majority of AC codes.  Bit accounting is identical to
-    // the slow path (same total drop per coefficient), so truncation
-    // errors surface at the same coefficient.
+    // overwhelming majority of AC codes.  Bit accounting AND error
+    // precedence are identical to the slow path: drop the code bits,
+    // check exhaustion, range-check, then drop the magnitude bits.
     const FastAc fa = fast[br.peek16() >> 4];
     if (fa.run >= 0) {
-      br.drop(fa.bits);
+      br.drop(fa.packed >> 4);
       if (br.exhausted()) return ERR_OUT_OF_DATA;
       if (fa.run < 16) {
         k += fa.run;
         if (k > 63) return ERR_AC_RANGE;
+        br.drop((fa.packed & 0x0F) - (fa.packed >> 4));
+        if (br.exhausted()) return ERR_OUT_OF_DATA;
         out[kZigzag[k]] = fa.value;
         ++k;
       } else if (fa.run == 16) {
@@ -344,15 +348,18 @@ inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
   while (k <= se) {
     // Fast path: coefficient and ZRL codes resolve in one table read
     // (EOB/EOBn stay on the slow path: they carry run-length bits).
+    // Error precedence matches the slow path exactly.
     const FastAc fa = fast[st.br.peek16() >> 4];
     if (fa.run >= 0 && fa.run <= 16) {
-      st.br.drop(fa.bits);
+      st.br.drop(fa.packed >> 4);
       if (st.br.exhausted()) return ERR_OUT_OF_DATA;
       if (fa.run == 16) {
         k += 16;  // ZRL
       } else {
         k += fa.run;
         if (k > se) return ERR_AC_RANGE;
+        st.br.drop((fa.packed & 0x0F) - (fa.packed >> 4));
+        if (st.br.exhausted()) return ERR_OUT_OF_DATA;
         block[k] = static_cast<int32_t>(fa.value) << al;
         ++k;
       }
@@ -485,7 +492,9 @@ int32_t pjt_decode_progressive_scan(
         !build_table(ac_counts + i * 16, ac_symbols + i * 162, &ac_tabs[i])) {
       return ERR_BAD_ARGS;
     }
-    if (ac_tabs[i].present) {
+    if (ss > 0 && ah == 0) {
+      // Only AC-first scans consult the fast table (build even for empty
+      // tables: a skipped build would leave stale thread_local entries).
       build_fast_ac(ac_counts + i * 16, ac_symbols + i * 162, fast_tabs[i]);
     }
   }
@@ -593,9 +602,10 @@ int32_t pjt_decode_segments(
         !build_table(ac_counts + t * 16, ac_symbols + t * 162, &ac_tabs[t])) {
       return ERR_BAD_ARGS;
     }
-    if (ac_tabs[t].present) {
-      build_fast_ac(ac_counts + t * 16, ac_symbols + t * 162, fast_tabs[t]);
-    }
+    // Unconditional: zero-count tables correctly yield all-slow entries,
+    // and a skipped build would leave the thread_local table stale from a
+    // previous image on this pool thread.
+    build_fast_ac(ac_counts + t * 16, ac_symbols + t * 162, fast_tabs[t]);
   }
 
   const HuffTable* slot_dc[10];

@@ -117,34 +117,3 @@ class TestSegmentParallel:
         a = decode_scan_cpp(header, threads=16)
         np.testing.assert_array_equal(a, decode_scan(header))
 
-
-def test_baseline_rejects_progressive_eobn_symbol():
-    """An AC table containing a progressive EOBn symbol (e.g. 0x10) is
-    decodable Huffman-wise but INVALID in a baseline scan: both decoders
-    must reject it (guards the fast-AC LUT against treating EOBn as EOB)."""
-    import numpy as np
-    import pytest
-
-    from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
-    from pim_jpeg_decoder_tpu.codec.header import (Component, HuffmanTableSpec,
-                                                   JpegError, JpegHeader)
-    from pim_jpeg_decoder_tpu.native import decode_scan_native, native_available
-
-    def table(tid, cls, symbols):
-        counts = np.zeros(16, np.uint8)
-        counts[0] = len(symbols)
-        return HuffmanTableSpec(tid, cls, counts,
-                                np.asarray(symbols, np.uint8))
-
-    header = JpegHeader(width=8, height=8)
-    header.components = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
-    header.dc_tables = {0: table(0, 0, [0x00])}   # code '0' -> DC size 0
-    header.ac_tables = {0: table(0, 1, [0x10])}   # code '0' -> EOBn (invalid)
-    header.entropy_bytes = bytes([0b00111111])    # DC '0', AC '0', pad 1s
-    header.segment_offsets = (0,)
-
-    with pytest.raises(JpegError):
-        decode_scan(header)
-    if native_available():
-        with pytest.raises(JpegError):
-            decode_scan_native(header)
