@@ -140,3 +140,41 @@ def test_baseline_rejects_progressive_eobn_symbol():
     if native_available():
         with pytest.raises(JpegError):
             decode_scan_native(header)
+
+
+def test_baseline_rejects_empty_ac_table():
+    """A DHT that defines an AC table with ZERO symbols is structurally
+    valid but undecodable: both decoders must error (guards the fast-AC
+    thread_local staleness fix — a skipped LUT build must not leave
+    entries from a previous image)."""
+    import numpy as np
+    import pytest
+
+    from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
+    from pim_jpeg_decoder_tpu.codec.header import (Component,
+                                                   HuffmanTableSpec,
+                                                   JpegError, JpegHeader)
+    from pim_jpeg_decoder_tpu.native import (decode_scan_native,
+                                             native_available)
+
+    def table(tid, cls, symbols):
+        counts = np.zeros(16, np.uint8)
+        counts[0] = len(symbols)
+        return HuffmanTableSpec(tid, cls, counts,
+                                np.asarray(symbols, np.uint8))
+
+    header = JpegHeader(width=8, height=8)
+    header.components = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
+    header.dc_tables = {0: table(0, 0, [0x01])}   # DC size 1
+    header.ac_tables = {0: table(0, 1, [])}       # EMPTY: nothing decodable
+    header.entropy_bytes = bytes([0b01111111])    # DC '0'+mag '1', then AC
+    header.segment_offsets = (0,)
+
+    with pytest.raises(JpegError):
+        decode_scan(header)
+    if native_available():
+        # Run twice on the same (pool) thread: the second decode must not
+        # see a stale fast table from a previous image.
+        for _ in range(2):
+            with pytest.raises(JpegError):
+                decode_scan_native(header)
