@@ -63,6 +63,7 @@ def decode_same_size_batch(
     blobs: Sequence[bytes],
     lane_tile: int = LANE_TILE,
     scale: int = 1,
+    prepare_threads: int = 4,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
 
@@ -76,6 +77,8 @@ def decode_same_size_batch(
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     if not blobs:
         raise ValueError("empty batch")
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
     headers = [scan_jpeg(b) for b in blobs]
     h0 = headers[0]
     mode = S.mode_for(h0.mode_key)
@@ -94,8 +97,12 @@ def decode_same_size_batch(
 
     coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
     qidx = np.zeros(m_pad, np.int32)
-    for i, header in enumerate(headers):
-        coeffs[i * per_img:(i + 1) * per_img] = entropy_decode(header)
+    # Entropy decode in parallel: the C++ decoder releases the GIL.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max(1, min(prepare_threads, batch))) as pool:
+        decoded = list(pool.map(entropy_decode, headers))
+    for i, c in enumerate(decoded):
+        coeffs[i * per_img:(i + 1) * per_img] = c
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
 

@@ -104,17 +104,18 @@ class BatchPacker:
     def flush(self) -> Optional[Batch]:
         if not self._images:
             return None
+        from pim_jpeg_decoder_tpu.models.pipeline import build_qpool
         mode = self.mode
         alloc = self._alloc_size()
         coeffs = np.zeros((alloc, mode.g, 64), np.int16)
         qidx = np.zeros(alloc, np.int32)
         qpool = np.zeros((self.max_images, mode.g, 64), np.float32)
+        qpool[: len(self._images)] = build_qpool(
+            [img.header for img, _ in self._images], mode)
         for i, (img, off) in enumerate(self._images):
             n = img.header.num_mcus
             coeffs[off:off + n] = img.coeffs
             qidx[off:off + n] = i
-            for s, (ci, _, _) in enumerate(img.header.slot_components()):
-                qpool[i, s] = img.header.component_qt(img.header.components[ci])
         batch = Batch(mode, coeffs, qidx, qpool, self._images)
         self._images = []
         self._used = 0

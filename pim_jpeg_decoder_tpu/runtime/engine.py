@@ -128,12 +128,15 @@ class DecodeEngine:
         import jax
         n = cfg.num_devices or len(jax.local_devices())
         self._mesh = None
+        self.batch_align = self.lane_tile
         if n > 1:
             from pim_jpeg_decoder_tpu.parallel.mesh import make_mesh
             self._mesh = make_mesh(n)
-            # Batches must split evenly across chips.
-            chunk = n * self.lane_tile
-            self.budget_mcus = -(-self.budget_mcus // chunk) * chunk
+            # Batches (incl. bucketed partial ones) must split evenly
+            # across chips.
+            self.batch_align = n * self.lane_tile
+            self.budget_mcus = (-(-self.budget_mcus // self.batch_align)
+                                * self.batch_align)
 
     # -- pipeline stages ------------------------------------------------------
 
@@ -212,7 +215,7 @@ class DecodeEngine:
                                  c0 * px_w // self.scale))
                 router = ModeRouter(self._dedicated_budget(
                     tile_header.num_mcus), max_images=1,
-                    lane_tile=self.lane_tile)
+                    lane_tile=self.batch_align)
                 router.add(tile)
                 yield from router.flush_all()
 
@@ -220,7 +223,10 @@ class DecodeEngine:
         """YCbCr wire transport whenever it reduces D2H bytes (all modes
         except 4:4:4, where the plane counts are equal)."""
         if self.scale != 1:
-            return False  # scaled decode emits reduced RGB directly
+            # Scaled decode emits reduced RGB directly (already fewer wire
+            # bytes than full-res ycbcr); transport='ycbcr' + scale!=1 is
+            # rejected by EngineConfig.validate().
+            return False
         if self.transport == "rgb":
             return False
         if self.transport == "ycbcr":
@@ -256,35 +262,47 @@ class DecodeEngine:
             raw = np.asarray(raw_rgb_dev)
         with timers.stage("write"):
             for img, off in batch.images:
-                n = img.header.num_mcus
-                if ycbcr:
-                    rgb = assemble_raster_ycbcr(img.header, raw, mcu_off=off)
-                elif self.scale != 1:
-                    rgb = assemble_raster_raw_scaled(
-                        img.header, raw[..., off:off + n], self.scale)
-                else:
-                    rgb = assemble_raster_raw(img.header,
-                                              raw[..., off:off + n])
-                if img.band_target is not None:
-                    acc, y0, x0 = img.band_target
-                    acc.raster[y0:y0 + rgb.shape[0],
-                               x0:x0 + rgb.shape[1]] = rgb
-                    acc.remaining -= 1
-                    if acc.remaining > 0 or acc.failed:
-                        continue
-                    img_name, header, rgb = acc.name, acc.header, acc.raster
-                    uid = acc.uid
-                else:
-                    img_name, header, uid = img.name, img.header, img.uid
-                res = FileResult(
-                    img_name, True,
-                    megapixels=header.width * header.height / 1e6)
-                if write:
-                    res.out_path = output_path(img_name)
-                    write_bmp(res.out_path, rgb)
-                if self.keep_rgb:
-                    res.rgb = rgb
-                results[uid] = res
+                # Per-image isolation: an assembly/write failure must not
+                # poison the other images of the batch (validate-and-skip,
+                # reference: src/decoder_host.cpp:120-123).
+                try:
+                    self._finish_image(img, off, raw, ycbcr, write, results)
+                except Exception as e:
+                    logger.error("finishing %s failed: %s", img.name, e)
+                    if img.band_target is not None:
+                        img.band_target[0].failed = True
+                    results[img.uid] = FileResult(
+                        img.name, False, error=f"output failed: {e}")
+
+    def _finish_image(self, img, off, raw, ycbcr: bool, write: bool,
+                      results: Dict[int, FileResult]) -> None:
+        n = img.header.num_mcus
+        if ycbcr:
+            rgb = assemble_raster_ycbcr(img.header, raw, mcu_off=off)
+        elif self.scale != 1:
+            rgb = assemble_raster_raw_scaled(
+                img.header, raw[..., off:off + n], self.scale)
+        else:
+            rgb = assemble_raster_raw(img.header, raw[..., off:off + n])
+        if img.band_target is not None:
+            acc, y0, x0 = img.band_target
+            acc.raster[y0:y0 + rgb.shape[0], x0:x0 + rgb.shape[1]] = rgb
+            acc.remaining -= 1
+            if acc.remaining > 0 or acc.failed:
+                return
+            img_name, header, rgb = acc.name, acc.header, acc.raster
+            uid = acc.uid
+        else:
+            img_name, header, uid = img.name, img.header, img.uid
+        res = FileResult(
+            img_name, True,
+            megapixels=header.width * header.height / 1e6)
+        if write:
+            res.out_path = output_path(img_name)
+            write_bmp(res.out_path, rgb)
+        if self.keep_rgb:
+            res.rgb = rgb
+        results[uid] = res
 
     # -- public API -----------------------------------------------------------
 
@@ -314,7 +332,7 @@ class DecodeEngine:
         results: Dict[int, FileResult] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
         router = ModeRouter(self.budget_mcus, max_images=self.max_images,
-                            lane_tile=self.lane_tile)
+                            lane_tile=self.batch_align)
 
         def consumer() -> None:
             import collections
@@ -362,6 +380,17 @@ class DecodeEngine:
         consumer_thread = threading.Thread(target=consumer, daemon=True)
         consumer_thread.start()
 
+        def stage_safe(uid, name, batches) -> None:
+            """Stage+enqueue; staging errors (host/device OOM etc.) are
+            per-file failures, not run killers."""
+            try:
+                for b in batches:
+                    batch_q.put(self._stage_batch(b, timers))
+            except Exception as e:
+                logger.warning("staging %s failed: %s", name, e)
+                results[uid] = FileResult(name, False,
+                                          error=f"staging failed: {e}")
+
         with ThreadPoolExecutor(self.prepare_threads) as pool:
             futures = [(i, name, pool.submit(self._prepare, name, data, i,
                                              timers))
@@ -377,25 +406,24 @@ class DecodeEngine:
                 # MCU-row-aligned chunks (the reference rejects these,
                 # "Too high resolution", reference: src/decoder_host.cpp:146).
                 if prepared.header.num_mcus > self.max_launch_mcus:
-                    for b in self._split_bands(prepared):
-                        batch_q.put(self._stage_batch(b, timers))
+                    stage_safe(uid, name, self._split_bands(prepared))
                     continue
                 # Oversized image: dedicated launch, bucket-aligned so the
                 # set of compiled kernel shapes stays bounded.
                 if prepared.header.num_mcus > self.budget_mcus:
                     big = ModeRouter(
                         self._dedicated_budget(prepared.header.num_mcus),
-                        max_images=1, lane_tile=self.lane_tile)
+                        max_images=1, lane_tile=self.batch_align)
                     big.add(prepared)
-                    for b in big.flush_all():
-                        batch_q.put(self._stage_batch(b, timers))
+                    stage_safe(uid, name, big.flush_all())
                     continue
-                for b in router.add(prepared):
-                    batch_q.put(self._stage_batch(b, timers))
-        for b in router.flush_all():
-            batch_q.put(self._stage_batch(b, timers))
-        batch_q.put(None)
-        consumer_thread.join()
+                stage_safe(uid, name, router.add(prepared))
+        try:
+            for b in router.flush_all():
+                batch_q.put(self._stage_batch(b, timers))
+        finally:
+            batch_q.put(None)
+            consumer_thread.join()
 
         ordered = [results.get(i, FileResult(name, False, error="missing"))
                    for i, (name, _) in enumerate(items)]
@@ -418,6 +446,8 @@ class DecodeEngine:
                 logger.warning("cannot read %s: %s", p, e)
                 io_failures.append(FileResult(p, False, error=str(e)))
         if sort:
+            # Same policy as batching.sort_by_size (the path-level API),
+            # applied to already-read blobs: blob length == file size.
             by_size = {p: len(d) for p, d in items}
             items.sort(key=lambda kv: (by_size[kv[0]], kv[0]))
         report = self.decode_named_blobs(items, write=write)

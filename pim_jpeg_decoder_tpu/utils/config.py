@@ -84,6 +84,11 @@ class EngineConfig:
                 f"transport must be auto/rgb/ycbcr, got {self.transport!r}")
         if self.scale not in (1, 2, 4, 8):
             raise ValueError(f"scale must be 1, 2, 4 or 8, got {self.scale}")
+        if self.scale != 1 and self.transport == "ycbcr":
+            raise ValueError(
+                "transport='ycbcr' is full-scale only (scaled decode emits "
+                "reduced RGB, already fewer wire bytes); use transport="
+                "'auto' or 'rgb' with scale != 1")
         if self.max_launch_mcus < self.lane_tile:
             raise ValueError(
                 f"max_launch_mcus ({self.max_launch_mcus}) must be >= "
