@@ -34,3 +34,12 @@ class TestEngineConfig:
         setattr(cfg, field, value)
         with pytest.raises(ValueError):
             cfg.validate()
+
+
+def test_rejects_ycbcr_transport_with_scale():
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+    import pytest
+    with pytest.raises(ValueError):
+        EngineConfig(scale=2, transport="ycbcr").validate()
+    EngineConfig(scale=2, transport="auto").validate()  # ok
+    EngineConfig(scale=2, transport="rgb").validate()   # ok
