@@ -113,3 +113,42 @@ class TestSixteenBitQuantTables:
         from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
         np.testing.assert_array_equal(decode_bytes_oracle(mutated).rgb,
                                       decode_bytes_oracle(bytes(data)).rgb)
+
+
+def test_random_scaled_and_region_differential(rng):
+    """Seeded mini-fuzz: scaled engine output == decode_scaled, and
+    decode_region == full-decode slice, across random dims/modes."""
+    from pim_jpeg_decoder_tpu.models.pipeline import (decode_bytes,
+                                                      decode_region,
+                                                      decode_scaled)
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    samplings = ["4:4:4", "4:2:2", "4:4:0", "4:2:0"]
+    eng = DecodeEngine(config=EngineConfig(budget_mcus=1024, lane_tile=128,
+                                           prepare_threads=1, scale=2),
+                       keep_rgb=True)
+    blobs = []
+    for i in range(4):
+        h, w = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        blobs.append((f"s{i}", encode_jpeg(img, quality=75,
+                                           sampling=samplings[i])))
+    rep = eng.decode_named_blobs(blobs)
+    for (name, data), res in zip(blobs, rep.results):
+        assert res.ok, (name, res.error)
+        np.testing.assert_array_equal(res.rgb,
+                                      decode_scaled(data, 2, lane_tile=128),
+                                      err_msg=name)
+
+    for i in range(4):
+        h, w = int(rng.integers(16, 100)), int(rng.integers(16, 100))
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        data = encode_jpeg(img, quality=80, sampling=samplings[i])
+        full = decode_bytes(data)
+        ch = int(rng.integers(1, h + 1))
+        cw = int(rng.integers(1, w + 1))
+        y0 = int(rng.integers(0, h - ch + 1))
+        x0 = int(rng.integers(0, w - cw + 1))
+        got = decode_region(data, y0, x0, ch, cw, lane_tile=128)
+        np.testing.assert_array_equal(got, full[y0:y0+ch, x0:x0+cw])
