@@ -211,7 +211,7 @@ def encode_jpeg(
         sof += bytes([base_id + ci, (ch << 4) | cv, min(ci, 1)])
     out += struct.pack(">HH", M.SOF0, len(sof) + 2) + sof
 
-    for specs, lut_unused in ((dc_specs, dc_tables), (ac_specs, ac_tables)):
+    for specs in (dc_specs, ac_specs):
         for spec in specs:
             body = bytes([(spec.table_class << 4) | spec.table_id])
             body += bytes(int(x) for x in spec.counts)

@@ -115,7 +115,9 @@ def _decode_block(
         raise JpegError(f"Invalid DC coefficient size: {t}")
     diff = extend_signed(br.read_bits(t), t)
     dc_pred[ci] += diff
-    out[0] = dc_pred[ci]
+    # Corrupt-but-Huffman-valid streams can push the predictor past int16;
+    # wrap like the C++ path's int16 cast (legal streams never get here).
+    out[0] = (dc_pred[ci] + 0x8000) % 0x10000 - 0x8000
 
     k = 1
     zz = ZIGZAG

@@ -90,7 +90,6 @@ TEM = 0xFF01  # Temporary private use in arithmetic coding
 # Marker classes useful for dispatch
 SOF_MARKERS = (SOF0, SOF1, SOF2, SOF3, SOF5, SOF6, SOF7,
                SOF9, SOF10, SOF11, SOF13, SOF14, SOF15)
-SOF_SUPPORTED = (SOF0, SOF2)  # parsed; SOF2 never completes a scan (see scanner)
 RST_MARKERS = tuple(range(RST0, RST7 + 1))
 APP_MARKERS = tuple(range(APP0, APP15 + 1))
 JPG_SKIP_MARKERS = tuple(range(JPG0, JPG13 + 1))

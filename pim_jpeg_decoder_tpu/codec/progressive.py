@@ -30,15 +30,9 @@ from pim_jpeg_decoder_tpu.codec.huffman import (
 from pim_jpeg_decoder_tpu.codec.tables import ZIGZAG
 
 
-def _decode_symbol(br: BitReader, table: DecodeTable) -> int:
-    peek = br.peek16()
-    length = int(table.lut_length[peek])
-    if length == 0:
-        raise JpegError("Invalid Huffman code in entropy-coded data")
-    if br.bitpos + length > br.nbits:
-        raise JpegError("Ran out of entropy-coded data")
-    br.bitpos += length
-    return int(table.lut_symbol[peek])
+# The symbol decoder is shared with the baseline path (single source for
+# the LUT protocol and its error contract).
+from pim_jpeg_decoder_tpu.codec.entropy import _decode_symbol  # noqa: E402
 
 
 class _ScanState:
@@ -64,7 +58,8 @@ def _dc_first(st: _ScanState, block: np.ndarray, ci: int,
         raise JpegError(f"Invalid DC coefficient size: {t}")
     diff = extend_signed(st.br.read_bits(t), t)
     st.preds[ci] += diff
-    block[0] = st.preds[ci] << al
+    # int32 wrap on pathological predictors, matching the C++ path.
+    block[0] = ((st.preds[ci] << al) + 0x80000000) % 0x100000000 - 0x80000000
 
 
 def _dc_refine(st: _ScanState, block: np.ndarray, al: int) -> None:

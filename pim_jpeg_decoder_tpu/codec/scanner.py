@@ -20,8 +20,11 @@ surface:
 Improvements over the reference (deliberate, see SURVEY.md section 2/C10):
 restart-segment *offsets* are recorded during the entropy scan so the decode
 stage can treat each restart interval as an independent bitstream entry
-point, and progressive (SOF2) streams fail with an explicit "unsupported"
-error instead of a generic mid-scan marker error.
+point, and progressive (SOF2) streams are FULLY parsed — every scan's
+entropy data and table snapshots are collected so codec/progressive.py can
+decode multi-scan successive approximation end to end (the reference's
+scanner errors at the second scan's markers and can never complete
+progressive, reference: src/jpeg_scanner.cpp:425-430).
 """
 
 from __future__ import annotations

@@ -32,6 +32,8 @@ def make_mesh(num_devices: Optional[int] = None,
     if devices is None:
         devices = jax.local_devices()
     if num_devices is not None:
+        if num_devices < 1:
+            raise ValueError(f"num_devices must be >= 1, got {num_devices}")
         if num_devices > len(devices):
             raise ValueError(
                 f"requested {num_devices} devices, have {len(devices)}")

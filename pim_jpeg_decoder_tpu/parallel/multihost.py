@@ -25,14 +25,20 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> None:
     """Initialize multi-process JAX (no-op when single-process).
 
-    Arguments default to the standard JAX env vars / auto-detection on TPU
-    pods; call this once at startup on every host.
+    Proceeds when explicit arguments are given, when the standard JAX
+    coordinator env var is set, or when a known cluster scheduler is
+    detected (TPU pod / Slurm / Open MPI) — jax.distributed.initialize's
+    own auto-detection handles those.  Plain single-host runs skip
+    initialization; call once at startup on every host.
     """
     if num_processes is not None and num_processes <= 1:
         return
-    if coordinator_address is None and num_processes is None and (
-            "JAX_COORDINATOR_ADDRESS" not in os.environ):
-        # Single-host run: nothing to initialize.
+    cluster_markers = ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+                       "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
+                       "MEGASCALE_COORDINATOR_ADDRESS")
+    if (coordinator_address is None and num_processes is None
+            and not any(v in os.environ for v in cluster_markers)):
+        # Plain single-host run: nothing to initialize.
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -44,10 +50,11 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 def partition_paths(paths: Sequence[str],
                     process_index: Optional[int] = None,
                     process_count: Optional[int] = None) -> List[str]:
-    """This host's shard of the corpus (strided, size-balanced after sort).
+    """This host's shard of the corpus (strided assignment).
 
-    Strided assignment over the size-sorted list keeps per-host megapixel
-    totals balanced, which is what the scaling-efficiency metric measures.
+    Stride the list AFTER sorting by size (e.g. batching.sort_by_size) and
+    per-host megapixel totals stay balanced — which is what the
+    scaling-efficiency metric measures.
     """
     if process_index is None:
         process_index = jax.process_index()

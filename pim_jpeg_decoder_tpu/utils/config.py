@@ -89,6 +89,9 @@ class EngineConfig:
                 "transport='ycbcr' is full-scale only (scaled decode emits "
                 "reduced RGB, already fewer wire bytes); use transport="
                 "'auto' or 'rgb' with scale != 1")
+        if self.num_devices is not None and self.num_devices < 1:
+            raise ValueError(
+                f"num_devices must be >= 1, got {self.num_devices}")
         if self.max_launch_mcus < self.lane_tile:
             raise ValueError(
                 f"max_launch_mcus ({self.max_launch_mcus}) must be >= "

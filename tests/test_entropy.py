@@ -178,3 +178,42 @@ def test_baseline_rejects_empty_ac_table():
         for _ in range(2):
             with pytest.raises(JpegError):
                 decode_scan_native(header)
+
+
+def test_dc_predictor_overflow_wraps_identically():
+    """Corrupt-but-Huffman-valid streams can push the DC predictor past
+    int16; both decoders must WRAP (like libjpeg's int16 store), not crash,
+    and produce identical coefficients."""
+    import numpy as np
+
+    from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
+    from pim_jpeg_decoder_tpu.codec.header import (Component,
+                                                   HuffmanTableSpec,
+                                                   JpegHeader)
+    from pim_jpeg_decoder_tpu.native import (decode_scan_native,
+                                             native_available)
+
+    def table(tid, cls, symbols):
+        counts = np.zeros(16, np.uint8)
+        counts[0] = len(symbols)
+        return HuffmanTableSpec(tid, cls, counts,
+                                np.asarray(symbols, np.uint8))
+
+    # DC: code '0' -> size 11 (diff +2047 with all-ones magnitude);
+    # AC: code '0' -> EOB.  20 blocks push the predictor to 40940 > 32767.
+    header = JpegHeader(width=8, height=8 * 20)   # 20 MCUs, grayscale
+    header.components = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
+    header.dc_tables = {0: table(0, 0, [0x0B])}
+    header.ac_tables = {0: table(0, 1, [0x00])}
+    bits = ("0" + "1" * 11 + "0") * 20            # per block: DC + EOB
+    bits += "1" * (-len(bits) % 8)
+    header.entropy_bytes = bytes(
+        int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    header.segment_offsets = (0,)
+
+    py = decode_scan(header)
+    # Block 17: predictor 2047*18 = 36846 -> wraps to 36846 - 65536.
+    assert py[17, 0, 0] == 36846 - 65536
+    if native_available():
+        cc = decode_scan_native(header)
+        np.testing.assert_array_equal(py, cc)

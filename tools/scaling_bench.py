@@ -76,6 +76,9 @@ def main() -> None:
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
 
     corpus = make_corpus(args.images)
+    # Sort by size before the strided split so per-host megapixels balance
+    # (see partition_paths docstring).
+    corpus.sort(key=lambda kv: (len(kv[1]), kv[0]))
     names = [n for n, _ in corpus]
     mine = set(partition_paths(names))
     shard = [(n, b) for n, b in corpus if n in mine]
