@@ -60,7 +60,14 @@ def main() -> None:
 
     multi = args.num_processes is not None and args.num_processes > 1
     if multi:
-        # CPU-backend multi-process simulation of a multi-host pod.
+        # CPU-backend multi-process simulation of a multi-host pod.  Split
+        # the machine's cores between the simulated hosts: the interpret-
+        # mode kernel leans on threaded BLAS, and oversubscription otherwise
+        # makes the simulation measure thrash, not scaling.
+        per_proc = max(1, (os.cpu_count() or 8) // args.num_processes)
+        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                    "MKL_NUM_THREADS"):
+            os.environ.setdefault(var, str(per_proc))
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -84,7 +91,10 @@ def main() -> None:
     shard = [(n, b) for n, b in corpus if n in mine]
 
     engine = DecodeEngine(budget_mcus=4096, lane_tile=256)
-    engine.decode_named_blobs(shard[:2])           # warmup/compile
+    # Warm up with the FULL shard: bucketed batch allocation means the tail
+    # batch has its own compiled shape, and a fresh XLA compile inside the
+    # timed region would measure compilation, not decode.
+    engine.decode_named_blobs(shard)
 
     t0 = time.monotonic()
     report = engine.decode_named_blobs(shard)
@@ -108,6 +118,13 @@ def main() -> None:
                 "hosts": args.num_processes,
                 "value": round(mps, 2),
                 "unit": "MP/s",
+                # This simulation runs N "hosts" on ONE machine's cores, so
+                # per-host compute is 1/N of the baseline's: aggregate
+                # throughput >= the single-process number demonstrates zero
+                # coordination overhead (whole-image sharding crosses hosts
+                # only for the final metadata allgather).  Real multi-host
+                # efficiency requires real per-host resources.
+                "note": "CPU simulation shares one machine's cores",
             }
             if args.baseline_mps:
                 out["scaling_efficiency"] = round(
