@@ -52,6 +52,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         prepare_threads=args.prepare_threads,
         scale=args.scale,
     )
+    if not args.quiet:
+        # Allocation banner (reference: src/decoder_host.cpp:362
+        # "N dpus are allocated").
+        import jax
+        devs = jax.local_devices()
+        print(f"{len(devs)} {devs[0].platform} device(s) allocated")
     report = engine.decode_paths(args.files, write=not args.no_write,
                                  sort=not args.no_sort)
 
