@@ -110,6 +110,15 @@ class TestDecodeScan:
             decode_scan(header)
 
 
+def _single_code_table(tid, cls, symbols):
+    """DHT spec where every symbol gets a 1-bit code (crafted-stream tests)."""
+    import numpy as np
+    from pim_jpeg_decoder_tpu.codec.header import HuffmanTableSpec
+    counts = np.zeros(16, np.uint8)
+    counts[0] = len(symbols)
+    return HuffmanTableSpec(tid, cls, counts, np.asarray(symbols, np.uint8))
+
+
 def test_baseline_rejects_progressive_eobn_symbol():
     """An AC table containing a progressive EOBn symbol (e.g. 0x10) is
     decodable Huffman-wise but INVALID in a baseline scan: both decoders
@@ -122,11 +131,7 @@ def test_baseline_rejects_progressive_eobn_symbol():
                                                    JpegError, JpegHeader)
     from pim_jpeg_decoder_tpu.native import decode_scan_native, native_available
 
-    def table(tid, cls, symbols):
-        counts = np.zeros(16, np.uint8)
-        counts[0] = len(symbols)
-        return HuffmanTableSpec(tid, cls, counts,
-                                np.asarray(symbols, np.uint8))
+    table = _single_code_table
 
     header = JpegHeader(width=8, height=8)
     header.components = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
@@ -157,11 +162,7 @@ def test_baseline_rejects_empty_ac_table():
     from pim_jpeg_decoder_tpu.native import (decode_scan_native,
                                              native_available)
 
-    def table(tid, cls, symbols):
-        counts = np.zeros(16, np.uint8)
-        counts[0] = len(symbols)
-        return HuffmanTableSpec(tid, cls, counts,
-                                np.asarray(symbols, np.uint8))
+    table = _single_code_table
 
     header = JpegHeader(width=8, height=8)
     header.components = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
@@ -193,11 +194,7 @@ def test_dc_predictor_overflow_wraps_identically():
     from pim_jpeg_decoder_tpu.native import (decode_scan_native,
                                              native_available)
 
-    def table(tid, cls, symbols):
-        counts = np.zeros(16, np.uint8)
-        counts[0] = len(symbols)
-        return HuffmanTableSpec(tid, cls, counts,
-                                np.asarray(symbols, np.uint8))
+    table = _single_code_table
 
     # DC: code '0' -> size 11 (diff +2047 with all-ones magnitude);
     # AC: code '0' -> EOB.  20 blocks push the predictor to 40940 > 32767.

@@ -118,7 +118,7 @@ class TestPipelineEndToEnd:
 
     def test_assemble_raster_slots_layout(self):
         """Slot-major assembly agrees with a hand-built mapping."""
-        from pim_jpeg_decoder_tpu.codec.header import Component, JpegHeader, QuantTable
+        from pim_jpeg_decoder_tpu.codec.header import Component, JpegHeader
         header = JpegHeader(width=32, height=32)
         header.components = [Component(1, 2, 2, 0), Component(2, 1, 1, 0),
                              Component(3, 1, 1, 0)]

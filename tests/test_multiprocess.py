@@ -11,6 +11,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -39,7 +40,9 @@ def test_two_process_scaling_harness():
         for pid in (0, 1)
     ]
     try:
-        outs = [p.communicate(timeout=280) for p in procs]
+        deadline = time.monotonic() + 280
+        outs = [p.communicate(timeout=max(5, deadline - time.monotonic()))
+                for p in procs]
     finally:
         for p in procs:  # a hung rank must not leak (holds the Gloo port)
             if p.poll() is None:
@@ -47,8 +50,10 @@ def test_two_process_scaling_harness():
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
     # Process 0 prints the aggregated JSON line.
-    line = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
-    report = json.loads(line)
+    json_lines = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")]
+    assert json_lines, (
+        f"rank 0 printed no JSON report:\n{outs[0][0]}\n{outs[0][1][-2000:]}")
+    report = json.loads(json_lines[-1])
     assert report["hosts"] == 2
     assert report["value"] > 0
     assert "scaling_efficiency" in report

@@ -44,10 +44,12 @@ class TestFuzz:
     def test_truncations(self, photo_image):
         data = encode_jpeg(photo_image, quality=85, sampling="4:2:0",
                            restart_interval=5)
-        outcomes = set()
+        outcomes = {}
         for frac in [0.05, 0.2, 0.5, 0.8, 0.95, 0.999]:
-            outcomes.add(try_decode(data[: int(len(data) * frac)]))
-        assert "ok" not in outcomes or len(outcomes) >= 1  # no crash is the test
+            outcomes[frac] = try_decode(data[: int(len(data) * frac)])
+        # A 5%-truncated file cannot decode cleanly; beyond that, not
+        # crashing IS the test.
+        assert outcomes[0.05] != "ok", outcomes
 
     def test_byte_flips(self, photo_image, rng):
         data = bytearray(encode_jpeg(photo_image, quality=85, sampling="4:2:0"))
@@ -70,17 +72,23 @@ class TestFuzz:
         in-range coefficients (never out-of-contract shapes/dtypes)."""
         clean = encode_jpeg(photo_image, quality=85, sampling="4:4:4")
         header = scan_jpeg(clean)
-        n = len(header.entropy_bytes)
+        pristine = header.entropy_bytes
+        n = len(pristine)
+        decoded_ok = 0
         for _ in range(30):
-            mutated = bytearray(header.entropy_bytes)
+            mutated = bytearray(pristine)     # independent single-bit flips
             pos = int(rng.integers(0, n))
             mutated[pos] ^= 1 << int(rng.integers(0, 8))
             header.entropy_bytes = bytes(mutated)
             try:
                 out = decode_scan(header)
                 assert out.shape == (header.num_mcus, 3, 64)
+                decoded_ok += 1
             except JpegError:
                 pass
+        # Many single-bit flips still decode (just with wrong pixels):
+        # the in-contract-output path must actually be exercised.
+        assert decoded_ok > 0
 
 
 class TestSixteenBitQuantTables:

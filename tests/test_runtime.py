@@ -140,7 +140,7 @@ class TestDecodeEngine:
         report = engine.decode_paths([str(path)])
         out = report.results[0].out_path
         assert out == str(tmp_path / "img.bmp")
-        rgb = read_bmp(open(out, "rb").read())
+        rgb = read_bmp((tmp_path / "img.bmp").read_bytes())
         np.testing.assert_array_equal(rgb, decode_bytes_oracle(data).rgb)
 
 

@@ -114,7 +114,7 @@ class TestScannerErrors:
         assert h.progressive
         assert len(h.scans) > 1
         first = h.scans[0].spec
-        assert (first.start_of_selection, first.end_of_selection)[1] == 0  # DC scan first
+        assert (first.start_of_selection, first.end_of_selection) == (0, 0)  # DC scan first
         for s in h.scans[1:]:
             if s.spec.start_of_selection > 0:
                 assert len(s.component_indices) == 1

@@ -5,6 +5,8 @@ The SURVEY.md section 4 substitute for distributed tests: conftest forces
 under shard_map in interpret mode.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -21,6 +23,7 @@ from pim_jpeg_decoder_tpu.parallel.multihost import partition_paths
 from pim_jpeg_decoder_tpu.parallel.sharding import decode_mcus_sharded
 
 LANE_TILE = 8  # tiny tiles: interpret mode is slow
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -96,7 +99,7 @@ class TestShardedDecode:
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, REPO_ROOT)
         import __graft_entry__ as ge
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
@@ -106,7 +109,7 @@ class TestGraftEntry:
     @pytest.mark.parametrize("n", [2, 8])
     def test_dryrun_multichip(self, n):
         import sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, REPO_ROOT)
         import __graft_entry__ as ge
         if len(jax.devices()) < n:
             pytest.skip(f"needs {n} devices")
