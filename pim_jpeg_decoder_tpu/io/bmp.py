@@ -55,8 +55,14 @@ def write_bmp(path: str, rgb: np.ndarray) -> None:
         f.write(encode_bmp(rgb))
 
 
-def read_bmp(data: bytes) -> np.ndarray:
-    """Parse a 24bpp BITMAPCOREHEADER BMP back into ``[H, W, 3]`` uint8 RGB."""
+def read_bmp(data) -> np.ndarray:
+    """Parse a 24bpp BITMAPCOREHEADER BMP back into ``[H, W, 3]`` uint8 RGB.
+
+    Accepts the file bytes or a filesystem path.
+    """
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
     magic, _file_size, _reserved, offset = struct.unpack_from("<2sIII", data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP file")
