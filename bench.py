@@ -6,11 +6,13 @@ Prints ONE JSON line:
 Primary value: device decode throughput per chip — the fused Pallas pipeline
 (dequantize + integer IDCT + chroma upsample + BT.601) with device-resident
 buffers, i.e. the chip's decode capability when embedded in a TPU input
-pipeline.  Extras report the host-side e2e throughput (marker scan + C++
-entropy decode + transfers + raster assembly; on this rig transfers ride a
-remote-TPU tunnel at ~100 MB/s, far below real PCIe), the PIL/libjpeg
-single-thread baseline on the same corpus, and the bit-exactness check vs
-the NumPy oracle.
+pipeline.  Extras report TWO e2e regimes (see README "Two e2e regimes"):
+``e2e_device_mps`` = bytes -> device-resident [B,H,W,3] batch (ML input
+pipeline; no RGB D2H) and ``e2e_mps`` = JPEG->BMP via full RGB D2H (median
+of 3; on this rig transfers ride a remote-TPU tunnel at ~15-45 MB/s, far
+below real PCIe), plus the PIL/libjpeg single-thread baseline on the same
+corpus and an on-hardware bit-exactness sweep vs the NumPy oracle covering
+every sampling mode x wire transport x scaled/region/progressive/DRI path.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against PIL/libjpeg single-thread CPU decode of the same corpus.
@@ -163,47 +165,164 @@ def bench_device_kernel() -> tuple:
 
 
 def bench_e2e(blobs) -> tuple:
+    """(median, best) MP/s over 3 runs of the full BMP-path pipeline.
+
+    Median is the headline (best-of-N would systematically pick the
+    luckiest tunnel-bandwidth window on this rig); best is reported too,
+    labeled, as the low-variance bound.
+    """
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
 
     engine = DecodeEngine(budget_mcus=16384, prepare_threads=8)
     # Warmup: compile every mode present.
     engine.decode_named_blobs(blobs[:2])
-    best = 0.0
-    report = None
-    for _ in range(3):  # best-of-3: tunnel bandwidth fluctuates 2-3x
+    rates = []
+    for _ in range(3):  # tunnel bandwidth fluctuates 2-3x between runs
         t0 = time.monotonic()
         report = engine.decode_named_blobs(blobs)
         dt = time.monotonic() - t0
         assert report.ok_count == len(blobs), [
             r.error for r in report.results if not r.ok]
-        best = max(best, report.total_megapixels / dt)
-    return best, report
+        rates.append(report.total_megapixels / dt)
+    rates.sort()
+    return rates[len(rates) // 2], rates[-1]
 
 
-def check_bit_exact(blobs) -> bool:
-    from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+def bench_e2e_device(blobs) -> float:
+    """Deployment-honest ML-input-pipeline e2e: bytes -> [B, H, W, 3] ON CHIP.
+
+    Measures models.input_pipeline.decode_same_size_batch — host marker scan
+    + C++ entropy decode + coefficient H2D + fused device decode — with the
+    decoded batch staying device-resident (no RGB D2H; a small dependent
+    slice is fetched to force real completion through the tunnel's early-ack
+    behavior).  This is the number the BMP-path e2e (which pays full RGB D2H
+    + BMP assembly) cannot represent.  Median of 3 runs, batch rotated per
+    run so no level of the stack can serve a cached result.
+    """
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+    from pim_jpeg_decoder_tpu.models.input_pipeline import (
+        decode_same_size_batch,
+    )
+
+    # Largest same-(size, mode) group of the corpus (ilsvrc may differ).
+    groups = {}
+    for _, d in blobs:
+        h = scan_jpeg(d)
+        groups.setdefault((h.width, h.height, h.mode_key), []).append(
+            (d, h.width * h.height / 1e6))
+    batch = max(groups.values(), key=len)
+    datas = [d for d, _ in batch]
+    mp = sum(m for _, m in batch)
+
+    def run(rot: int) -> float:
+        rotated = datas[rot:] + datas[:rot]
+        t0 = time.monotonic()
+        out, _ = decode_same_size_batch(rotated, prepare_threads=8)
+        # Force completion: fetch a sparse dependent slice (few KB).
+        np.asarray(out[:, ::97, ::97, :])
+        return mp / (time.monotonic() - t0)
+
+    run(1)  # warmup: compile
+    rates = sorted(run(r) for r in (2, 3, 4))
+    return rates[len(rates) // 2]
+
+
+def make_variety_corpus() -> list:
+    """Fixtures covering every mode x transport x coding path for the
+    on-hardware bit-exactness sweep: 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 /
+    grayscale, restart intervals (DRI), and progressive (SOF2)."""
+    from PIL import Image
+
+    from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 30, 3), np.uint8)
+    img = np.array(Image.fromarray(img).resize((168, 120), Image.BILINEAR))
+
+    out = []
+    for name, sub in (("444", 0), ("422", 1), ("420", 2)):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=80,
+                                  subsampling=sub)
+        out.append((f"variety_{name}", buf.getvalue()))
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("L").save(buf, format="JPEG", quality=80)
+    out.append(("variety_gray", buf.getvalue()))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=80,
+                              subsampling=2, progressive=True)
+    out.append(("variety_progressive", buf.getvalue()))
+    # 4:4:0 and DRI need the in-repo encoder (PIL can't emit them).
+    out.append(("variety_440", encode_jpeg(img, sampling="4:4:0")))
+    out.append(("variety_420_dri",
+                encode_jpeg(img, sampling="4:2:0", restart_interval=3)))
+    return out
+
+
+def check_bit_exact(blobs, variety) -> dict:
+    """On-hardware bit-exactness sweep vs the NumPy oracle.
+
+    Every corpus + variety image through the engine in BOTH wire transports
+    (auto -> YCbCr where it saves bytes, rgb -> forced RGB), plus the scaled
+    (reduced-IDCT) kernel for every mode x scale and region decode — so each
+    kernel variant and transport is asserted bit-exact on the real chip,
+    not just in interpret mode.  Returns {"ok", "images", "checks",
+    "failures": [names]}.
+    """
+    from pim_jpeg_decoder_tpu.models.pipeline import (
+        decode_region,
+        decode_scaled,
+    )
+    from pim_jpeg_decoder_tpu.oracle.decoder import (
+        decode_bytes_oracle,
+        decode_scaled_oracle,
+    )
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
 
-    # Same budget as bench_e2e so compiled programs are reused.
-    engine = DecodeEngine(budget_mcus=16384, keep_rgb=True)
-    sample = blobs[:3]
-    report = engine.decode_named_blobs(sample)
-    for (_, data), res in zip(sample, report.results):
-        if not res.ok or not np.array_equal(res.rgb,
-                                            decode_bytes_oracle(data).rgb):
-            return False
-    return True
+    all_imgs = list(blobs) + list(variety)
+    oracle = {name: decode_bytes_oracle(data).rgb for name, data in all_imgs}
+    failures = []
+    checks = 0
+
+    for transport in ("auto", "rgb"):
+        engine = DecodeEngine(keep_rgb=True, config=EngineConfig(
+            budget_mcus=16384, transport=transport))
+        report = engine.decode_named_blobs(all_imgs)
+        for (name, _), res in zip(all_imgs, report.results):
+            checks += 1
+            if not res.ok or not np.array_equal(res.rgb, oracle[name]):
+                failures.append(f"{name}[{transport}]")
+
+    for name, data in variety:
+        for scale in (2, 4, 8):
+            checks += 1
+            got = decode_scaled(data, scale)
+            if not np.array_equal(got, decode_scaled_oracle(data, scale)):
+                failures.append(f"{name}[scale={scale}]")
+
+    # Region decode: bit-identical to the same slice of the oracle raster.
+    name, data = blobs[0]
+    checks += 1
+    got = decode_region(data, 33, 17, 160, 240)
+    if not np.array_equal(got, oracle[name][33:193, 17:257]):
+        failures.append(f"{name}[region]")
+
+    return {"ok": not failures, "images": len(all_imgs), "checks": checks,
+            "failures": failures}
 
 
 def main() -> None:
     blobs = make_corpus()
+    variety = make_variety_corpus()
 
     kernel_mps, ycbcr_kernel_mps = bench_device_kernel()
-    e2e_mps, _ = bench_e2e(blobs)
+    e2e_device_mps = bench_e2e_device(blobs)
+    e2e_mps, e2e_best_mps = bench_e2e(blobs)
     entropy_mps = bench_host_entropy(blobs)
     progressive_mps = bench_progressive(blobs)
     pil_mps = bench_pil(blobs)
-    bit_exact = check_bit_exact(blobs)
+    exact = check_bit_exact(blobs, variety)
 
     result = {
         "metric": "JPEG decode throughput per chip (fused dequant+IDCT+color, device-resident)",
@@ -211,14 +330,20 @@ def main() -> None:
         "unit": "MP/s",
         "vs_baseline": round(kernel_mps / pil_mps, 2),
         "ycbcr_kernel_mps": round(ycbcr_kernel_mps, 1),
+        "e2e_device_mps": round(e2e_device_mps, 1),
         "e2e_mps": round(e2e_mps, 1),
+        "e2e_best_mps": round(e2e_best_mps, 1),
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
         "pil_single_thread_mps": round(pil_mps, 1),
-        "bit_exact_vs_oracle": bit_exact,
+        "bit_exact_vs_oracle": exact["ok"],
+        "bit_exact_images": exact["images"],
+        "bit_exact_checks": exact["checks"],
         "corpus_images": len(blobs),
     }
+    if exact["failures"]:
+        result["bit_exact_failures"] = exact["failures"]
     print(json.dumps(result))
 
 

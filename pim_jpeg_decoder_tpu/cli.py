@@ -38,6 +38,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace to DIR "
                              "(device-side per-kernel timing)")
+    parser.add_argument("--device-profile", nargs="?", const="measure",
+                        default="cached", choices=("measure", "cached", "off"),
+                        help="per-phase device timing in the Profiles block "
+                             "(dequantize/IDCT/color, like the reference's "
+                             "DPU cycle counters). Default 'cached' prints "
+                             "disk-cached measurements instantly; 'measure' "
+                             "times any missing launch geometry now (first "
+                             "use compiles the per-stage kernels)")
     args = parser.parse_args(argv)
 
     import os
@@ -69,7 +77,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif r.out_path and not args.quiet:
             print(f"{r.name} -> {r.out_path}")
     if not args.quiet:
-        report.print_profile()
+        report.print_profile(device_phases=args.device_profile)
     return 1 if failures else 0
 
 

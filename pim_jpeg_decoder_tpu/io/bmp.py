@@ -1,10 +1,17 @@
-"""24bpp BMP writer (BITMAPCOREHEADER), bottom-up rows.
+"""24bpp BMP writer (BITMAPCOREHEADER, BITMAPINFOHEADER above 64K px).
 
 Output serializer with the exact file format of the reference's
 ``write_BMP`` (reference: src/bmp_writer.cpp:19-67): 14-byte file header,
 12-byte BITMAPCOREHEADER (pixel data offset 0x1A), bottom-up rows, BGR byte
 order, rows padded to 4-byte multiples (pad = width % 4, which equals the
 24bpp padding (4 - 3*width % 4) % 4 — see SURVEY.md C23).
+
+BITMAPCOREHEADER stores 16-bit dimensions; images with a dimension at or
+above 65,536 px fall back to the 40-byte BITMAPINFOHEADER (32-bit signed
+dims) so chunked decode's "no size ceiling" holds through the writer.  The
+reference shares the 16-bit header and therefore the ceiling; the fallback
+is a superset, not a format divergence, for every file the reference can
+produce.
 
 Unlike the reference, which walks pixel-by-pixel re-deriving the
 (dpu, block, position) scatter per pixel (reference: src/bmp_writer.cpp:51-60),
@@ -21,7 +28,8 @@ import struct
 
 import numpy as np
 
-_PIXEL_DATA_OFFSET = 26  # 14-byte file header + 12-byte BITMAPCOREHEADER
+_CORE_OFFSET = 26  # 14-byte file header + 12-byte BITMAPCOREHEADER
+_INFO_OFFSET = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 
 
 def encode_bmp(rgb: np.ndarray) -> bytes:
@@ -29,9 +37,9 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError(f"expected [H, W, 3] uint8 RGB, got {rgb.shape} {rgb.dtype}")
     height, width = rgb.shape[:2]
-    if width >= 1 << 16 or height >= 1 << 16:
+    if width >= 1 << 31 or height >= 1 << 31:
         raise ValueError(
-            f"BITMAPCOREHEADER stores 16-bit dimensions; {width}x{height} too large")
+            f"BMP stores 32-bit signed dimensions; {width}x{height} too large")
     pad = width % 4
     row_bytes = width * 3 + pad
 
@@ -39,14 +47,16 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     rows = np.zeros((height, row_bytes), dtype=np.uint8)
     rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)
 
-    file_size = _PIXEL_DATA_OFFSET + height * row_bytes
-    header = struct.pack(
-        "<2sIII",
-        b"BM", file_size, 0, _PIXEL_DATA_OFFSET,
-    ) + struct.pack(
-        "<IHHHH",
-        12, width, height, 1, 24,
-    )
+    if width < 1 << 16 and height < 1 << 16:
+        # Reference-exact format (reference: src/bmp_writer.cpp:19-44).
+        offset = _CORE_OFFSET
+        dib = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    else:
+        offset = _INFO_OFFSET
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                          0, height * row_bytes, 2835, 2835, 0, 0)
+    file_size = offset + height * row_bytes
+    header = struct.pack("<2sIII", b"BM", file_size, 0, offset) + dib
     return header + rows.tobytes()
 
 
@@ -56,7 +66,7 @@ def write_bmp(path: str, rgb: np.ndarray) -> None:
 
 
 def read_bmp(data) -> np.ndarray:
-    """Parse a 24bpp BITMAPCOREHEADER BMP back into ``[H, W, 3]`` uint8 RGB.
+    """Parse a 24bpp BMP (CORE or INFO header) back into ``[H, W, 3]`` RGB.
 
     Accepts the file bytes or a filesystem path.
     """
@@ -67,9 +77,18 @@ def read_bmp(data) -> np.ndarray:
     if magic != b"BM":
         raise ValueError("not a BMP file")
     hdr_size = struct.unpack_from("<I", data, 14)[0]
-    if hdr_size != 12:
-        raise ValueError(f"expected BITMAPCOREHEADER (12), got header size {hdr_size}")
-    width, height, planes, bpp = struct.unpack_from("<HHHH", data, 18)
+    if hdr_size == 12:
+        width, height, planes, bpp = struct.unpack_from("<HHHH", data, 18)
+    elif hdr_size == 40:
+        width, height, planes, bpp, compression = struct.unpack_from(
+            "<iiHHI", data, 18)
+        if compression != 0:
+            raise ValueError(f"unsupported BMP compression {compression}")
+        if width < 0 or height < 0:
+            raise ValueError("top-down / negative-dim BMPs unsupported")
+    else:
+        raise ValueError(f"expected BITMAPCOREHEADER (12) or BITMAPINFOHEADER "
+                         f"(40), got header size {hdr_size}")
     if planes != 1 or bpp != 24:
         raise ValueError(f"unsupported BMP: planes={planes} bpp={bpp}")
     pad = width % 4

@@ -18,6 +18,7 @@
 // Built on demand by binding.py:  g++ -O3 -shared -fPIC entropy.cpp
 // Exposed via ctypes (calls release the GIL, so producer threads scale).
 
+#include <cassert>
 #include <cstdint>
 #include <cstring>
 
@@ -106,6 +107,10 @@ struct BitReader {
   // re-verify before reusing for wider magnitudes (e.g. 12-bit precision).
   inline uint32_t take_nofill(int32_t n) {
     if (n == 0) return 0;
+    // Safety depends on non-local invariants (fill() leaves cnt >= 32;
+    // a symbol is <= 16 bits and its magnitude <= 15, so drop(<=16) +
+    // take_nofill(<=15) fits) — keep them loud in debug builds.
+    assert(cnt >= n && "take_nofill underflow: fill()/drop() invariant broken");
     uint32_t v = static_cast<uint32_t>((buf >> (cnt - n)) & ((1u << n) - 1u));
     cnt -= n;
     return v;

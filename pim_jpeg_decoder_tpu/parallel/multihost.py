@@ -33,11 +33,26 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """
     if num_processes is not None and num_processes <= 1:
         return
-    cluster_markers = ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
-                       "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
-                       "MEGASCALE_COORDINATOR_ADDRESS")
+
+    def _env_gt1(var: str) -> bool:
+        try:
+            return int(os.environ.get(var, "1")) > 1
+        except ValueError:
+            return False
+
+    # Markers that imply MULTI-process intent.  A bare SLURM_JOB_ID /
+    # OMPI_COMM_WORLD_SIZE=1 (single task inside an allocation — common
+    # interactive use) must NOT trigger initialize(), which would block
+    # waiting for ranks that never join.
+    multi_process_intent = (
+        "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "TPU_WORKER_HOSTNAMES" in os.environ
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+        or _env_gt1("SLURM_NTASKS")
+        or _env_gt1("OMPI_COMM_WORLD_SIZE")
+    )
     if (coordinator_address is None and num_processes is None
-            and not any(v in os.environ for v in cluster_markers)):
+            and not multi_process_intent):
         # Plain single-host run: nothing to initialize.
         return
     jax.distributed.initialize(

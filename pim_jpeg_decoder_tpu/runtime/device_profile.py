@@ -1,0 +1,188 @@
+"""Per-phase device timing for the CLI "Profiles:" block.
+
+The reference reads per-DPU-phase cycle counters (init / dequantization /
+inverse DCT / color conversion, reference: src/decoder_dpu.c:52-55,86-107)
+every run and prints them in its exit report
+(reference: src/decoder_host.cpp:309-312,388-391).  The TPU production
+kernel is ONE fused Pallas program with no phase boundaries, so the
+equivalent breakdown is measured, not counted: the unfused per-stage
+kernels (:mod:`pim_jpeg_decoder_tpu.ops.stage_kernels`) are timed at the
+same (mode, batch, lane_tile) with the tunnel-immune device-loop harness,
+alongside the fused production kernel itself.
+
+Measurements are cached on disk keyed by device kind + launch geometry, so
+only the first profiled run per configuration pays the stage-kernel
+compiles; later CLI runs print the breakdown instantly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Dict, Optional, Tuple
+
+_CACHE_VERSION = 1
+_CACHE_PATH = os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
+                           "phase_cache.json")
+
+# (mode_key, m, lane_tile, transport, scale) observed launch geometry.
+LaunchKey = Tuple[Tuple[int, int, int], int, int, str, int]
+
+
+def _load_cache() -> Dict[str, Dict[str, float]]:
+    try:
+        with open(_CACHE_PATH) as f:
+            data = json.load(f)
+        if data.get("version") == _CACHE_VERSION:
+            return data.get("entries", {})
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _save_cache(entries: Dict[str, Dict[str, float]]) -> None:
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_CACHE_PATH))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": _CACHE_VERSION, "entries": entries}, f)
+        os.replace(tmp, _CACHE_PATH)
+    except OSError:
+        pass  # cache is an optimization; never fail the report over it
+
+
+def _cache_key(key: LaunchKey, device_kind: str) -> str:
+    mode_key, m, lane_tile, transport, scale = key
+    return "|".join([device_kind, "x".join(map(str, mode_key)), str(m),
+                     str(lane_tile), transport, str(scale)])
+
+
+def measure_phases(key: LaunchKey, n_hi: int = 36,
+                   cached_only: bool = False) -> Optional[Dict[str, float]]:
+    """Phase microseconds per launch for one observed launch geometry.
+
+    Returns {"dequantize_us", "idct_us", "color_us", "fused_us"} —
+    "color_us" is absent for the YCbCr wire transport (upsample+color runs
+    on the host there) and for scaled decode (the reduced IDCT emits
+    spatial samples directly; stage kernels are full-scale only, so scaled
+    launches report just the fused time).  Returns None if measurement is
+    impossible (e.g. interpret mode would be meaningless).
+    """
+    import jax
+    if jax.default_backend() == "cpu":
+        return None
+
+    device_kind = jax.devices()[0].device_kind
+    ck = _cache_key(key, device_kind)
+    cache = _load_cache()
+    if ck in cache:
+        return cache[ck]
+    if cached_only:
+        return None
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from pim_jpeg_decoder_tpu.ops import specs as S
+    from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus_impl
+    from pim_jpeg_decoder_tpu.utils.devbench import devloop_seconds_per_launch
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+
+    ensure_compilation_cache()
+    mode_key, m, lane_tile, transport, scale = key
+    mode = S.mode_for(mode_key)
+    rng = np.random.default_rng(0)
+    coeffs = jax.device_put(
+        rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
+    qidx = jax.device_put((np.arange(m) % 4).astype(np.int32))
+    qpools = jax.device_put(
+        rng.integers(1, 64, (8, 4, mode.g, 64)).astype(np.float32))
+
+    def us(step, consume):
+        return devloop_seconds_per_launch(step, consume, n_hi=n_hi,
+                                          pairs=3) * 1e6
+
+    out: Dict[str, float] = {}
+    ycbcr = transport == "ycbcr"
+    fused = us(
+        lambda s: decode_mcus_impl(
+            coeffs, qidx, qpools[s % 8], mode=mode, lane_tile=lane_tile,
+            interpret=False, raw=not ycbcr, ycbcr=ycbcr, scale=scale),
+        lambda o: (o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]).astype(jnp.int32))
+    out["fused_us"] = round(fused, 1)
+
+    if scale == 1:
+        from pim_jpeg_decoder_tpu.ops.stage_kernels import (
+            color_stage_impl,
+            dequantize_stage,
+            dequantize_stage_impl,
+            idct_stage,
+            idct_stage_impl,
+        )
+        kw = dict(mode=mode, lane_tile=lane_tile, interpret=False)
+        deq = dequantize_stage(coeffs, qidx, qpools[0], **kw)
+        out["dequantize_us"] = round(us(
+            lambda s: dequantize_stage_impl(coeffs, qidx, qpools[s % 8], **kw),
+            lambda o: o[0, 0, 0].astype(jnp.int32)), 1)
+        out["idct_us"] = round(us(
+            lambda s: idct_stage_impl(deq + (s % 2).astype(jnp.int16), **kw),
+            lambda o: o[0, 0, 0].astype(jnp.int32)), 1)
+        if not ycbcr:
+            spat = idct_stage(deq, **kw)
+            out["color_us"] = round(us(
+                lambda s: color_stage_impl(
+                    spat + (s % 2).astype(jnp.int16), **kw),
+                lambda o: o[0, 0, 0, 0].astype(jnp.int32)), 1)
+
+    cache = _load_cache()
+    cache[ck] = out
+    _save_cache(cache)
+    return out
+
+
+def phase_report_lines(launch_stats: Dict[LaunchKey, int],
+                       measure: bool = True) -> list:
+    """Profile-block lines for the observed launches.
+
+    ``launch_stats`` maps launch geometry -> launch count (collected by the
+    engine).  Totals are phase-us x launch-count, the same accounting the
+    reference applies to its accumulated DPU cycle counters
+    (reference: src/decoder_host.cpp:309-312).  With ``measure=False`` only
+    disk-cached measurements are used (no compiles); geometries without a
+    cache entry are reported as unmeasured.
+    """
+    import jax
+    if jax.default_backend() == "cpu":
+        return []  # interpret-mode timing would be meaningless
+    totals = {"dequantize_us": 0.0, "idct_us": 0.0, "color_us": 0.0,
+              "fused_us": 0.0}
+    measured_launches = 0
+    total_launches = sum(launch_stats.values())
+    for key, count in launch_stats.items():
+        phases = measure_phases(key, cached_only=not measure)
+        if not phases:
+            continue
+        measured_launches += count
+        for name, v in phases.items():
+            totals[name] += v * count
+
+    lines = []
+    if measured_launches == 0:
+        lines.append(" - Device phase breakdown: unavailable "
+                     "(no cached measurement; run with --device-profile)")
+        return lines
+    lines.append(f" - TPU kernel device time (measured, {measured_launches}"
+                 f"/{total_launches} launches): "
+                 f"{totals['fused_us'] / 1e6:.6f} (s)")
+    label = {
+        "dequantize_us": "Device dequantization time",
+        "idct_us": "Device inverse DCT time",
+        "color_us": "Device color conversion time",
+    }
+    for k, lab in label.items():
+        if totals[k]:
+            lines.append(f"   - {lab} (unfused-equivalent): "
+                         f"{totals[k] / 1e6:.6f} (s)")
+    return lines

@@ -72,6 +72,10 @@ class FileResult:
 class EngineReport:
     results: List[FileResult]
     timers: StageTimers
+    # Launch geometry -> count, for the device-phase breakdown
+    # (runtime/device_profile.py; the reference's per-DPU-phase counters,
+    # reference: src/decoder_host.cpp:388-391).
+    launch_stats: Dict[tuple, int] = dataclasses.field(default_factory=dict)
 
     @property
     def ok_count(self) -> int:
@@ -81,11 +85,26 @@ class EngineReport:
     def total_megapixels(self) -> float:
         return sum(r.megapixels for r in self.results if r.ok)
 
-    def print_profile(self) -> None:
+    def print_profile(self, device_phases: str = "off") -> None:
+        """Print the Profiles block (reference: decoder_host.cpp:379-394).
+
+        ``device_phases``: "off" = host stages only; "cached" = append the
+        per-phase device breakdown from disk-cached measurements (instant,
+        shows a hint when unmeasured); "measure" = measure any missing
+        launch geometry now (compiles stage kernels on first use).
+        """
         print(self.timers.report(extra={
             "Decoded files": f"{self.ok_count}/{len(self.results)}",
             "Total megapixels": f"{self.total_megapixels:.2f}",
         }))
+        if device_phases != "off" and self.launch_stats:
+            from pim_jpeg_decoder_tpu.runtime.device_profile import (
+                phase_report_lines,
+            )
+            lines = phase_report_lines(self.launch_stats,
+                                       measure=device_phases == "measure")
+            if lines:
+                print("\n".join(lines))
 
 
 class DecodeEngine:
@@ -233,12 +252,19 @@ class DecodeEngine:
             return True
         return mode.ycbcr_saves_bytes
 
-    def _dispatch_batch(self, batch: Batch, timers: StageTimers):
+    def _dispatch_batch(self, batch: Batch, timers: StageTimers,
+                        launch_stats: Optional[Dict[tuple, int]] = None):
         """Launch the fused kernel asynchronously (JAX dispatch returns
         immediately; the device pipeline below overlaps execution + D2H of
         batch N with dispatch of batch N+1)."""
         ycbcr = self._use_ycbcr(batch.mode)
         batch.transport = "ycbcr" if ycbcr else "rgb"
+        if launch_stats is not None:
+            # Consumer thread is the only writer; no locking needed.
+            key = ((batch.mode.h, batch.mode.v, batch.mode.ncomp),
+                   int(batch.coeffs.shape[0]), self.lane_tile,
+                   batch.transport, self.scale)
+            launch_stats[key] = launch_stats.get(key, 0) + 1
         with timers.stage("kernel"):
             if self._mesh is not None and (
                     batch.coeffs.shape[0]
@@ -330,6 +356,7 @@ class DecodeEngine:
                             write: bool) -> EngineReport:
         timers = StageTimers()
         results: Dict[int, FileResult] = {}
+        launch_stats: Dict[tuple, int] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
         router = ModeRouter(self.budget_mcus, max_images=self.max_images,
                             lane_tile=self.batch_align)
@@ -356,7 +383,7 @@ class DecodeEngine:
                 if batch is None:
                     break
                 try:
-                    dev = self._dispatch_batch(batch, timers)
+                    dev = self._dispatch_batch(batch, timers, launch_stats)
                     # Start the D2H transfer immediately so it overlaps the
                     # host-side assembly/BMP write of the previous batch
                     # (the D2H half of the reference's copy/exec overlap,
@@ -427,7 +454,7 @@ class DecodeEngine:
 
         ordered = [results.get(i, FileResult(name, False, error="missing"))
                    for i, (name, _) in enumerate(items)]
-        return EngineReport(ordered, timers)
+        return EngineReport(ordered, timers, launch_stats)
 
     def decode_paths(self, paths: Sequence[str], write: bool = True,
                      sort: bool = True) -> EngineReport:

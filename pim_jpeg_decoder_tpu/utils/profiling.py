@@ -7,15 +7,21 @@ globally, printed at exit.  Stage names mirror the reference so numbers are
 comparable (BASELINE.md):
 
   prepare   <- mcu_prepare (scan + entropy decode)       [:202-203]
-  queue     <- queue waiting time                        [:236-238]
-  pop       <- batch pop time                            [:255-259]
+  queue     <- queue waiting + batch pop                 [:236-238,255-259]
   h2d       <- CPU->DPUs transfer                        [:275-279]
   kernel    <- DPU execution                             [:291-295]
   d2h       <- DPUs->CPU transfer                        [:307-314]
   write     <- BMP write                                 [:325-334]
 
-For device-side introspection use ``jax.profiler`` traces; this module is
-the cheap always-on wall-clock layer.
+The reference times its cv.wait and its queue.pop as two stages ("queue
+waiting" + "batch pop", reference: src/decoder_host.cpp:236-238,255-259)
+because they are two mutex operations there; Python's ``queue.Queue.get``
+performs both atomically, so the single "queue" stage here covers both and
+no separate "pop" stage exists.
+
+For device-side PHASE timing (the reference's per-DPU dequant/IDCT/color
+cycle counters) see :mod:`pim_jpeg_decoder_tpu.runtime.device_profile`;
+this module is the cheap always-on host wall-clock layer.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ import threading
 import time
 from typing import Dict, List, Tuple
 
-STAGES = ("prepare", "queue", "pop", "h2d", "kernel", "d2h", "write")
+STAGES = ("prepare", "queue", "h2d", "kernel", "d2h", "write")
 
 
 class StageTimers:
@@ -67,8 +73,7 @@ class StageTimers:
         lines.append(f" - Total execution time: {self.total():.6f} (s)")
         labels = {
             "prepare": "MCU prepare (scan + entropy decode) time",
-            "queue": "Queue waiting time",
-            "pop": "Batch pop time",
+            "queue": "Queue waiting time (incl. batch pop)",
             "h2d": "Host->TPU transfer time",
             "kernel": "TPU kernel execution time",
             "d2h": "TPU->Host transfer time",

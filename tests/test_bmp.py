@@ -56,3 +56,35 @@ class TestBmpFormat:
             encode_bmp(np.zeros((4, 4), np.uint8))
         with pytest.raises(ValueError):
             encode_bmp(np.zeros((4, 4, 3), np.float32))
+
+
+class TestBmpInfoHeaderFallback:
+    """Dimensions >= 65,536 px exceed BITMAPCOREHEADER's 16-bit fields; the
+    writer falls back to the 40-byte BITMAPINFOHEADER so chunked decode's
+    'no size ceiling' holds through the serializer."""
+
+    def test_wide_image_roundtrip(self, rng):
+        rgb = rng.integers(0, 256, (2, 70000, 3), dtype=np.uint8)
+        data = encode_bmp(rgb)
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        assert hdr_size == 40
+        offset = struct.unpack_from("<I", data, 10)[0]
+        assert offset == 54
+        width, height = struct.unpack_from("<ii", data, 18)
+        assert (width, height) == (70000, 2)
+        np.testing.assert_array_equal(read_bmp(data), rgb)
+
+    def test_tall_image_roundtrip(self, rng):
+        rgb = rng.integers(0, 256, (65536, 3, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(read_bmp(encode_bmp(rgb)), rgb)
+
+    def test_pil_can_read_info_header(self, rng):
+        import io
+        from PIL import Image
+        rgb = rng.integers(0, 256, (2, 66000, 3), dtype=np.uint8)
+        img = np.array(Image.open(io.BytesIO(encode_bmp(rgb))).convert("RGB"))
+        np.testing.assert_array_equal(img, rgb)
+
+    def test_small_images_keep_reference_exact_core_header(self):
+        data = encode_bmp(np.zeros((65535, 1, 3), np.uint8))
+        assert struct.unpack_from("<I", data, 14)[0] == 12

@@ -246,3 +246,50 @@ def test_ultrawide_image_tiles_within_launch_cap(rng):
     assert report.ok_count == 1, [r.error for r in report.results]
     np.testing.assert_array_equal(report.results[0].rgb,
                                   decode_bytes_oracle(data).rgb)
+
+
+def test_jpeg_max_width_image_through_bmp_writer(tmp_path, rng):
+    """The widest image JPEG can express (SOF dims are 16-bit, T.81 B.2.2:
+    max 65,535 px) decodes in column tiles AND serializes through the BMP
+    writer — the 'no size ceiling' claim holds end to end.  (>65,535 px
+    cannot occur from a JPEG; the writer's BITMAPINFOHEADER fallback for
+    such arrays is unit-tested in test_bmp.py.)"""
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    width = 65535                                  # 4096 MCU columns
+    img = rng.integers(0, 256, (2, -(-width // 16), 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(img, 8, 0), 16, 1)[:, :width]  # [16, 65535, 3]
+    data = encode_jpeg(img, quality=90, sampling="4:2:0")
+    path = str(tmp_path / "wide.jpg")
+    with open(path, "wb") as f:
+        f.write(data)
+    cfg = EngineConfig(budget_mcus=1024, lane_tile=128, prepare_threads=1,
+                       max_launch_mcus=1024)
+    engine = DecodeEngine(config=cfg)
+    report = engine.decode_paths([path], write=True)
+    assert report.ok_count == 1, [r.error for r in report.results]
+    out = report.results[0].out_path
+    np.testing.assert_array_equal(read_bmp(out),
+                                  decode_bytes_oracle(data).rgb)
+
+
+def test_engine_records_launch_stats(photo_image):
+    """Launch geometry is collected for the device-phase profile
+    (runtime/device_profile.py; the reference's per-DPU-phase counters)."""
+    data = encode_jpeg(photo_image, quality=80, sampling="4:2:0")
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=1)
+    engine = DecodeEngine(config=cfg)
+    report = engine.decode_named_blobs([("a", data), ("b", data)])
+    assert report.ok_count == 2
+    assert sum(report.launch_stats.values()) >= 1
+    (mode_key, m, lane_tile, transport, scale) = next(
+        iter(report.launch_stats))
+    assert mode_key == (2, 2, 3)
+    assert m % lane_tile == 0
+    assert transport in ("rgb", "ycbcr")
+    assert scale == 1
+    # print_profile with device phases must be a no-op on CPU (no crash,
+    # no bogus interpret-mode numbers).
+    report.print_profile(device_phases="cached")

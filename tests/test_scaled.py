@@ -214,3 +214,24 @@ class TestScaledExtremeValues:
             want = (ycbcr_to_rgb(spat[:, s], cb, cr)
                     .swapaxes(1, 2).reshape(m, n * n, 3))
             np.testing.assert_array_equal(got[:, s], want)
+
+
+class TestScaledOracleRaster:
+    """decode_scaled_oracle (the host golden used by bench.py's hardware
+    sweep) agrees bit-exactly with the kernel path at full-raster level."""
+
+    @pytest.mark.parametrize("scale", [2, 4, 8])
+    @pytest.mark.parametrize("sampling,grayscale", [
+        ("4:2:0", False), ("4:2:2", False), ("4:4:0", False),
+        ("4:4:4", False), ("gray", True)])
+    def test_matches_decode_scaled(self, photo_image, sampling, grayscale,
+                                   scale):
+        from pim_jpeg_decoder_tpu.oracle.decoder import decode_scaled_oracle
+        img = photo_image[:, :, 0] if grayscale else photo_image
+        data = encode_jpeg(img, quality=85,
+                           sampling="4:4:4" if grayscale else sampling,
+                           grayscale=grayscale)
+        got = decode_scaled(data, scale, lane_tile=LANE_TILE)
+        want = decode_scaled_oracle(data, scale)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)

@@ -123,3 +123,49 @@ class TestMultihostHelpers:
         assert sorted(sum(shards, [])) == sorted(paths)
         sizes = sorted(len(s) for s in shards)
         assert sizes == [3, 3, 4]
+
+
+class TestInitializeDistributedGating:
+    """initialize_distributed must not block a single-process run that merely
+    sits inside a Slurm/MPI allocation (ADVICE r1): only markers implying
+    MULTI-process intent may trigger jax.distributed.initialize."""
+
+    def _call(self, monkeypatch, env):
+        from pim_jpeg_decoder_tpu.parallel import multihost
+        for var in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID", "SLURM_NTASKS",
+                    "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        calls = []
+        monkeypatch.setattr(
+            multihost.jax.distributed, "initialize",
+            lambda **kw: calls.append(kw))
+        multihost.initialize_distributed()
+        return calls
+
+    def test_bare_slurm_job_id_is_single_process(self, monkeypatch):
+        assert self._call(monkeypatch, {"SLURM_JOB_ID": "123"}) == []
+
+    def test_slurm_single_task_is_single_process(self, monkeypatch):
+        assert self._call(monkeypatch, {"SLURM_JOB_ID": "123",
+                                        "SLURM_NTASKS": "1"}) == []
+
+    def test_ompi_size_one_is_single_process(self, monkeypatch):
+        assert self._call(monkeypatch, {"OMPI_COMM_WORLD_SIZE": "1"}) == []
+
+    def test_slurm_multi_task_initializes(self, monkeypatch):
+        assert len(self._call(monkeypatch, {"SLURM_JOB_ID": "123",
+                                            "SLURM_NTASKS": "4"})) == 1
+
+    def test_ompi_multi_rank_initializes(self, monkeypatch):
+        assert len(self._call(monkeypatch,
+                              {"OMPI_COMM_WORLD_SIZE": "2"})) == 1
+
+    def test_coordinator_env_initializes(self, monkeypatch):
+        env = {"JAX_COORDINATOR_ADDRESS": "localhost:1234"}
+        assert len(self._call(monkeypatch, env)) == 1
+
+    def test_plain_env_is_noop(self, monkeypatch):
+        assert self._call(monkeypatch, {}) == []
