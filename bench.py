@@ -132,7 +132,10 @@ def bench_device_kernel() -> tuple:
     from pim_jpeg_decoder_tpu.ops import specs as S
     from pim_jpeg_decoder_tpu.ops.decode_kernel import (LANE_TILE,
                                                         decode_mcus_impl)
-    from pim_jpeg_decoder_tpu.utils.devbench import devloop_seconds_per_launch
+    from pim_jpeg_decoder_tpu.utils.devbench import (
+        devloop_seconds_per_launch,
+        rotating_args_step,
+    )
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
     ensure_compilation_cache()
@@ -140,20 +143,30 @@ def bench_device_kernel() -> tuple:
     m = KERNEL_BATCH_MCUS
     rng = np.random.default_rng(0)
 
-    coeffs = jax.device_put(
+    # ROTATE the big input: a loop-invariant coefficient buffer gets kept
+    # in VMEM across iterations by XLA, hiding its HBM read from the
+    # steady-state time (devbench docstring, "VMEM-PROMOTION HAZARD").
+    # 8 x 12.6 MB exceeds VMEM, so every launch streams from HBM like
+    # production does.
+    n_rot = 8
+    coeff_rot = [jax.device_put(
         rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
+        for _ in range(n_rot)]
     qidx = jax.device_put((np.arange(m) % 16).astype(np.int32))
-    qpools = jax.device_put(
-        rng.integers(1, 64, (64, 16, mode.g, 64)).astype(np.float32))
+    qpool_rot = [jax.device_put(
+        rng.integers(1, 64, (16, mode.g, 64)).astype(np.float32))
+        for _ in range(n_rot)]
 
     mp_per_launch = m * mode.mcu_px_h * mode.mcu_px_w / 1e6
     out = []
     for ycbcr in (False, True):
-        def step(i, ycbcr=ycbcr):
+        def call(c, qp, ycbcr=ycbcr):
             return decode_mcus_impl(
-                coeffs, qidx, qpools[i % qpools.shape[0]],
-                mode=mode, lane_tile=LANE_TILE, interpret=False,
-                raw=not ycbcr, ycbcr=ycbcr)
+                c, qidx, qp, mode=mode, lane_tile=LANE_TILE,
+                interpret=False, raw=not ycbcr, ycbcr=ycbcr)
+
+        step = rotating_args_step(
+            call, [(c, qp) for c, qp in zip(coeff_rot, qpool_rot)])
 
         def consume(o, ycbcr=ycbcr):
             first = o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]

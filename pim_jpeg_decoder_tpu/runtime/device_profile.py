@@ -22,7 +22,7 @@ import os
 import tempfile
 from typing import Dict, Optional, Tuple
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2   # v2: rotating-input protocol (VMEM-promotion fix)
 _CACHE_PATH = os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
                            "phase_cache.json")
 
@@ -87,29 +87,41 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
 
     from pim_jpeg_decoder_tpu.ops import specs as S
     from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus_impl
-    from pim_jpeg_decoder_tpu.utils.devbench import devloop_seconds_per_launch
+    from pim_jpeg_decoder_tpu.utils.devbench import (
+        devloop_seconds_per_launch,
+        rotating_args_step,
+    )
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
     ensure_compilation_cache()
     mode_key, m, lane_tile, transport, scale = key
     mode = S.mode_for(mode_key)
     rng = np.random.default_rng(0)
-    coeffs = jax.device_put(
+    # Rotate every large input so XLA cannot keep a loop-invariant buffer
+    # in VMEM across iterations (devbench "VMEM-PROMOTION HAZARD").
+    n_rot = 8
+    coeff_rot = [jax.device_put(
         rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
+        for _ in range(n_rot)]
     qidx = jax.device_put((np.arange(m) % 4).astype(np.int32))
-    qpools = jax.device_put(
-        rng.integers(1, 64, (8, 4, mode.g, 64)).astype(np.float32))
+    qpool_rot = [jax.device_put(
+        rng.integers(1, 64, (4, mode.g, 64)).astype(np.float32))
+        for _ in range(n_rot)]
 
     def us(step, consume):
-        return devloop_seconds_per_launch(step, consume, n_hi=n_hi,
-                                          pairs=3) * 1e6
+        # Tiny launches are overhead-dominated; the paired difference can
+        # go (meaninglessly) negative there — clamp to "below noise".
+        return max(0.0, devloop_seconds_per_launch(step, consume, n_hi=n_hi,
+                                                   pairs=3) * 1e6)
 
     out: Dict[str, float] = {}
     ycbcr = transport == "ycbcr"
     fused = us(
-        lambda s: decode_mcus_impl(
-            coeffs, qidx, qpools[s % 8], mode=mode, lane_tile=lane_tile,
-            interpret=False, raw=not ycbcr, ycbcr=ycbcr, scale=scale),
+        rotating_args_step(
+            lambda c, qp: decode_mcus_impl(
+                c, qidx, qp, mode=mode, lane_tile=lane_tile,
+                interpret=False, raw=not ycbcr, ycbcr=ycbcr, scale=scale),
+            list(zip(coeff_rot, qpool_rot))),
         lambda o: (o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]).astype(jnp.int32))
     out["fused_us"] = round(fused, 1)
 
@@ -122,18 +134,24 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
             idct_stage_impl,
         )
         kw = dict(mode=mode, lane_tile=lane_tile, interpret=False)
-        deq = dequantize_stage(coeffs, qidx, qpools[0], **kw)
+        deq_rot = [dequantize_stage(c, qidx, qp, **kw)
+                   for c, qp in zip(coeff_rot, qpool_rot)]
         out["dequantize_us"] = round(us(
-            lambda s: dequantize_stage_impl(coeffs, qidx, qpools[s % 8], **kw),
+            rotating_args_step(
+                lambda c, qp: dequantize_stage_impl(c, qidx, qp, **kw),
+                list(zip(coeff_rot, qpool_rot))),
             lambda o: o[0, 0, 0].astype(jnp.int32)), 1)
         out["idct_us"] = round(us(
-            lambda s: idct_stage_impl(deq + (s % 2).astype(jnp.int16), **kw),
+            rotating_args_step(
+                lambda d: idct_stage_impl(d, **kw),
+                [(d,) for d in deq_rot]),
             lambda o: o[0, 0, 0].astype(jnp.int32)), 1)
         if not ycbcr:
-            spat = idct_stage(deq, **kw)
+            spat_rot = [idct_stage(d, **kw) for d in deq_rot]
             out["color_us"] = round(us(
-                lambda s: color_stage_impl(
-                    spat + (s % 2).astype(jnp.int16), **kw),
+                rotating_args_step(
+                    lambda sp: color_stage_impl(sp, **kw),
+                    [(sp,) for sp in spat_rot]),
                 lambda o: o[0, 0, 0, 0].astype(jnp.int32)), 1)
 
     cache = _load_cache()

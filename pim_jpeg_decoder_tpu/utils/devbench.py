@@ -10,6 +10,16 @@ The honest recipe, shared by bench.py and tools/stage_profile.py:
 ``lax.fori_loop`` of N launches inside ONE jit, per-iteration-varying args,
 a scalar data dependency on every output, a UNIQUE seed argument per timed
 call, and paired-median ``(t_hi - t_lo) / (n_hi - n_lo)``.
+
+VMEM-PROMOTION HAZARD (measured on v5e, round 2): a loop-INVARIANT input
+array that fits VMEM (~<=16-100 MB depending on generation) can be kept
+on-chip across iterations by XLA, so its HBM read disappears from the
+steady-state per-launch time — a 16K-MCU 4:2:0 memcpy-shaped kernel
+"measured" 1863 GB/s (above HBM physics) with one fixed 12.6 MB input, vs
+1123 GB/s with a 100 MB working set.  Any benchmark whose production
+behavior streams fresh inputs per launch MUST rotate among enough distinct
+input buffers that their total exceeds VMEM — use
+:func:`rotating_args_step`.
 """
 
 from __future__ import annotations
@@ -17,9 +27,27 @@ from __future__ import annotations
 import functools
 import statistics
 import time
-from typing import Callable
+from typing import Callable, Sequence
 
 _seed_box = [0]
+
+
+def rotating_args_step(fn: Callable, args_list: Sequence[tuple]) -> Callable:
+    """step(i) that cycles ``fn(*args_list[i % n])`` via ``lax.switch``.
+
+    Static branch-per-buffer (no dynamic-slice copy), so the only HBM
+    traffic is the kernel's own.  Size ``args_list`` so the distinct
+    buffers sum past VMEM (see module docstring) — 8 rotations of a
+    >=12.5 MB input is safe on current generations.
+    """
+    import jax
+
+    branches = [functools.partial(fn, *args) for args in args_list]
+
+    def step(i):
+        return jax.lax.switch(i % len(branches), branches)
+
+    return step
 
 
 def devloop_seconds_per_launch(step: Callable, consume: Callable,

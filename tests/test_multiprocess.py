@@ -25,19 +25,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_scaling_harness():
+def _run_scaling_harness(n_procs: int, images: int) -> dict:
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # plain 1-device-per-process CPU backend
     procs = [
         subprocess.Popen(
-            [sys.executable, BENCH, "--num-processes", "2",
+            [sys.executable, BENCH, "--num-processes", str(n_procs),
              "--process-id", str(pid), "--coordinator",
-             f"localhost:{port}", "--images", "8",
+             f"localhost:{port}", "--images", str(images),
              "--baseline-mps", "1.0"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             cwd=REPO, text=True)
-        for pid in (0, 1)
+        for pid in range(n_procs)
     ]
     try:
         deadline = time.monotonic() + 280
@@ -53,7 +53,24 @@ def test_two_process_scaling_harness():
     json_lines = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")]
     assert json_lines, (
         f"rank 0 printed no JSON report:\n{outs[0][0]}\n{outs[0][1][-2000:]}")
-    report = json.loads(json_lines[-1])
+    return json.loads(json_lines[-1])
+
+
+def test_two_process_scaling_harness():
+    report = _run_scaling_harness(2, images=8)
     assert report["hosts"] == 2
     assert report["value"] > 0
     assert "scaling_efficiency" in report
+    # Whole-image sharding: the only DCN traffic is the final per-host
+    # (megapixels, wall) metadata allgather — a few bytes per host.
+    assert 0 < report["dcn_bytes"] <= 64 * report["hosts"]
+
+
+def test_four_process_scaling_harness():
+    report = _run_scaling_harness(4, images=8)
+    assert report["hosts"] == 4
+    assert report["value"] > 0
+    # Equal-size corpus + sorted strided partition_paths => per-host
+    # megapixels must balance exactly (min/max == 1).
+    assert report["mp_balance"] >= 0.99
+    assert 0 < report["dcn_bytes"] <= 64 * report["hosts"]

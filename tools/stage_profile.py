@@ -29,6 +29,11 @@ def devloop_us(make_step, consume):
     return devloop_seconds_per_launch(make_step, consume, n_hi=68) * 1e6
 
 
+def rotated(fn, args_list):
+    from pim_jpeg_decoder_tpu.utils.devbench import rotating_args_step
+    return rotating_args_step(fn, args_list)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -47,33 +52,43 @@ def main() -> None:
     mode = S.mode_for((2, 2, 3))
     m = 16384
     rng = np.random.default_rng(0)
-    coeffs = jax.device_put(
+    # Rotate the big inputs so XLA cannot keep a loop-invariant buffer in
+    # VMEM across loop iterations (devbench "VMEM-PROMOTION HAZARD").
+    n_rot = 8
+    coeff_rot = [jax.device_put(
         rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
+        for _ in range(n_rot)]
     qidx = jax.device_put((np.arange(m) % 16).astype(np.int32))
-    qpools = jax.device_put(
-        rng.integers(1, 64, (64, 16, mode.g, 64)).astype(np.float32))
+    qpool_rot = [jax.device_put(
+        rng.integers(1, 64, (16, mode.g, 64)).astype(np.float32))
+        for _ in range(n_rot)]
 
     from pim_jpeg_decoder_tpu.ops.stage_kernels import (dequantize_stage,
                                                         idct_stage)
-    deq = dequantize_stage(coeffs, qidx, qpools[0], mode=mode)
-    spat = idct_stage(deq, mode=mode)
-
     kw = dict(mode=mode, lane_tile=LANE_TILE, interpret=False)
+    deq_rot = [dequantize_stage(c, qidx, qp, **kw)
+               for c, qp in zip(coeff_rot, qpool_rot)]
+    spat_rot = [idct_stage(d, **kw) for d in deq_rot]
+
+    def c3(o):
+        return o[0, 0, 0].astype(jnp.int32) + o[-1, -1, -1].astype(jnp.int32)
+
+    def c4(o):
+        return (o[0, 0, 0, 0].astype(jnp.int32)
+                + o[-1, -1, -1, -1].astype(jnp.int32))
 
     t_deq = devloop_us(
-        lambda s: dequantize_stage_impl(coeffs, qidx,
-                                        qpools[s % 64], **kw),
-        lambda o: o[0, 0, 0].astype(jnp.int32) + o[-1, -1, -1].astype(jnp.int32))
+        rotated(lambda c, qp: dequantize_stage_impl(c, qidx, qp, **kw),
+                list(zip(coeff_rot, qpool_rot))), c3)
     t_idct = devloop_us(
-        lambda s: idct_stage_impl(deq + (s % 2).astype(jnp.int16), **kw),
-        lambda o: o[0, 0, 0].astype(jnp.int32) + o[-1, -1, -1].astype(jnp.int32))
+        rotated(lambda d: idct_stage_impl(d, **kw),
+                [(d,) for d in deq_rot]), c3)
     t_color = devloop_us(
-        lambda s: color_stage_impl(spat + (s % 2).astype(jnp.int16), **kw),
-        lambda o: o[0, 0, 0, 0].astype(jnp.int32) + o[-1, -1, -1, -1].astype(jnp.int32))
+        rotated(lambda sp: color_stage_impl(sp, **kw),
+                [(sp,) for sp in spat_rot]), c4)
     t_fused = devloop_us(
-        lambda s: decode_mcus_impl(coeffs, qidx, qpools[s % 64],
-                                   raw=True, **kw),
-        lambda o: o[0, 0, 0, 0].astype(jnp.int32) + o[-1, -1, -1, -1].astype(jnp.int32))
+        rotated(lambda c, qp: decode_mcus_impl(c, qidx, qp, raw=True, **kw),
+                list(zip(coeff_rot, qpool_rot))), c4)
 
     mp = m * 256 / 1e6
     staged = t_deq + t_idct + t_color
