@@ -64,6 +64,7 @@ def decode_same_size_batch(
     lane_tile: int = LANE_TILE,
     scale: int = 1,
     prepare_threads: int = 4,
+    wire: str = "auto",
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
 
@@ -72,6 +73,9 @@ def decode_same_size_batch(
     model) and the parsed headers.  ``scale`` in {1, 2, 4, 8} decodes at
     reduced resolution (H and W become ceil(dim/scale)) via the reduced
     IDCT — ~scale^2 less device work for pipelines that downsize anyway.
+    ``wire="auto"`` ships coefficients as int8 when the whole batch fits
+    (half the H2D bytes; widened exactly on device — see
+    runtime.batching.compact_wire); "i16" disables the compaction.
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
@@ -106,6 +110,9 @@ def decode_same_size_batch(
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
 
+    if wire == "auto":
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+        coeffs = compact_wire(coeffs)
     out = _decode_batch_jit(
         jnp.asarray(coeffs), jnp.asarray(qidx),
         jnp.asarray(qpool, jnp.float32),

@@ -81,8 +81,13 @@ def decode_mcus_sharded(
         raise ValueError(
             f"M={m} must be a multiple of devices*lane_tile={n * lane_tile}")
 
+    # Preserve an int8 coefficient wire (batching.compact_wire): the H2D
+    # placement ships half the bytes; shard_map's impl widens on device.
+    import numpy as _np
+    wire_dt = (jnp.int8 if _np.dtype(getattr(coeffs, "dtype", _np.int16))
+               == _np.dtype(_np.int8) else jnp.int16)
     coeffs = jax.device_put(
-        jnp.asarray(coeffs, jnp.int16), NamedSharding(mesh, P(MCU_AXIS)))
+        jnp.asarray(coeffs, wire_dt), NamedSharding(mesh, P(MCU_AXIS)))
     qidx = jax.device_put(
         jnp.asarray(qidx, jnp.int32), NamedSharding(mesh, P(MCU_AXIS)))
     qpool = jax.device_put(

@@ -42,6 +42,7 @@ from pim_jpeg_decoder_tpu.runtime.batching import (
     Batch,
     ModeRouter,
     PreparedImage,
+    compact_wire,
 )
 from pim_jpeg_decoder_tpu.utils.log import logger
 from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
@@ -137,6 +138,7 @@ class DecodeEngine:
         self.max_launch_mcus = cfg.max_launch_mcus
         self.scale = cfg.scale
         self.transport = cfg.transport
+        self.wire = cfg.wire
         self.keep_rgb = keep_rgb
 
         # Shard MCU tiles across all LOCAL chips (the reference's
@@ -172,6 +174,10 @@ class DecodeEngine:
         the H2D half of the reference's copy/exec overlap
         (reference: src/decoder_host.cpp:276-292)."""
         import jax
+        if self.wire == "auto":
+            # int8 coefficient wire when the whole batch fits: half the
+            # H2D bytes, widened on device (see batching.compact_wire).
+            batch.coeffs = compact_wire(batch.coeffs)
         if self._mesh is not None:
             return batch  # sharded path places data itself
         with timers.stage("h2d"):

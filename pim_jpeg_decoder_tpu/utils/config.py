@@ -44,6 +44,14 @@ class EngineConfig:
     # fast path); "auto" picks ycbcr whenever it reduces wire bytes
     # (every mode except 4:4:4).  D2H is the deployment bottleneck.
     transport: str = "auto"
+    # Host->device coefficient wire: "auto" ships int8 when every
+    # coefficient of the batch fits (true for virtually all q<=90 JPEGs -
+    # measured 0 exceedances on the q75 corpus), HALVING H2D bytes; the
+    # int8->int16 widening fuses into the on-device [M,g,64]->[g,64,M]
+    # transpose the kernel needs anyway, so device work does not grow.
+    # Batches with any |coeff| > 127 fall back to int16 (bit-exactness is
+    # unconditional).  "i16" disables the compaction.
+    wire: str = "auto"
 
     @classmethod
     def from_env(cls, **overrides) -> "EngineConfig":
@@ -55,6 +63,7 @@ class EngineConfig:
             "PIM_JPEG_TPU_MAX_IMAGES": ("max_images_per_batch", int),
             "PIM_JPEG_TPU_NUM_DEVICES": ("num_devices", int),
             "PIM_JPEG_TPU_TRANSPORT": ("transport", str),
+            "PIM_JPEG_TPU_WIRE": ("wire", str),
             "PIM_JPEG_TPU_MAX_LAUNCH": ("max_launch_mcus", int),
             "PIM_JPEG_TPU_SCALE": ("scale", int),
         }
@@ -82,6 +91,8 @@ class EngineConfig:
         if self.transport not in ("auto", "rgb", "ycbcr"):
             raise ValueError(
                 f"transport must be auto/rgb/ycbcr, got {self.transport!r}")
+        if self.wire not in ("auto", "i16"):
+            raise ValueError(f"wire must be auto/i16, got {self.wire!r}")
         if self.scale not in (1, 2, 4, 8):
             raise ValueError(f"scale must be 1, 2, 4 or 8, got {self.scale}")
         if self.scale != 1 and self.transport == "ycbcr":

@@ -64,6 +64,16 @@ def devloop_seconds_per_launch(step: Callable, consume: Callable,
       n_lo/n_hi: paired loop lengths; the difference cancels fixed
         dispatch/fetch overhead, pairing adjacent samples cancels slow
         tunnel drift, the median rejects hiccup outliers.
+
+    The ``i`` passed to ``step`` carries a GUARD: a scalar that is always
+    0 but provably depends on every previous iteration's output (a
+    sentinel compare against the accumulator).  Without it, iterations
+    whose inputs recur (e.g. a rotation index ``i % n``) are identical
+    pure computations that the compiler may merge under unrolling or
+    overlap in execution — observed as a YCbCr kernel "measuring" 2.9 TB/s
+    of HBM traffic on v5e.  Any input selection inside ``step`` (gather,
+    ``lax.switch`` branch index) inherits the dependency automatically
+    because it uses ``i``.
     """
     import jax
     import jax.numpy as jnp
@@ -72,7 +82,11 @@ def devloop_seconds_per_launch(step: Callable, consume: Callable,
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(seed, n):
         def body(i, acc):
-            return acc + consume(step(i + seed))
+            # Always 0, but only the real computation can prove it: forces
+            # iteration i+1's inputs to depend on iteration i's output.
+            guard = jax.lax.select(acc == jnp.int32(-(2**31) + 12345),
+                                   jnp.int32(1), jnp.int32(0))
+            return acc + consume(step(i + seed + guard))
         return jax.lax.fori_loop(0, n, body, seed)
 
     def timed(n: int) -> float:

@@ -97,3 +97,80 @@ class TestEngineTransport:
     def test_config_rejects_bad_transport(self):
         with pytest.raises(ValueError):
             EngineConfig(transport="bogus").validate()
+
+
+class TestInt8CoefficientWire:
+    """H2D wire compaction (batching.compact_wire): int8 when the batch
+    fits, unconditional int16 fallback, bit-exact either way."""
+
+    def test_compact_wire_fits(self):
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+        c = np.array([[[-128, 127, 0, 5]]], np.int16)
+        out = compact_wire(c)
+        assert out.dtype == np.int8
+        np.testing.assert_array_equal(out.astype(np.int16), c)
+
+    @pytest.mark.parametrize("bad", [128, -129, 3000, -3000])
+    def test_compact_wire_fallback(self, bad):
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+        c = np.array([[[0, bad]]], np.int16)
+        assert compact_wire(c) is c
+
+    def test_kernel_accepts_int8_coeffs(self, photo_image):
+        """decode_mcus on an int8 wire == decode_mcus on the int16 wire."""
+        data = encode_jpeg(photo_image, quality=75, sampling="4:2:0")
+        header = scan_jpeg(data)
+        coeffs = decode_scan(header)
+        assert abs(int(coeffs.min())) <= 128 and int(coeffs.max()) <= 127, \
+            "fixture must fit the int8 wire"
+        mode = S.mode_for(header.mode_key)
+        m_pad = pad_mcus(header.num_mcus, LANE_TILE)
+        padded = np.zeros((m_pad, mode.g, 64), np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, np.int32)
+        qpool = build_qpool([header], mode)
+        want = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                      lane_tile=LANE_TILE, raw=True))
+        got = np.asarray(decode_mcus(padded.astype(np.int8), qidx, qpool,
+                                     mode, lane_tile=LANE_TILE, raw=True))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("wire", ["auto", "i16"])
+    def test_engine_wire_modes_match_oracle(self, photo_image, rng, wire):
+        """Both wire modes decode bit-exactly, including a q100 noise image
+        whose coefficients exceed int8 (exercises the per-batch fallback)."""
+        from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+        from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+
+        noise = rng.integers(0, 256, (64, 80, 3), np.uint8)
+        blobs = [
+            ("small", encode_jpeg(photo_image, quality=75, sampling="4:2:0")),
+            ("big", encode_jpeg(noise, quality=100, sampling="4:2:0")),
+        ]
+        # The q100 noise image must actually overflow int8 or the fallback
+        # isn't exercised.
+        h = scan_jpeg(blobs[1][1])
+        assert int(np.abs(decode_scan(h)).max()) > 127
+        cfg = EngineConfig(budget_mcus=1024, lane_tile=128,
+                           prepare_threads=1, wire=wire)
+        engine = DecodeEngine(keep_rgb=True, config=cfg)
+        report = engine.decode_named_blobs(blobs)
+        assert report.ok_count == 2, [r.error for r in report.results]
+        for (name, data), res in zip(blobs, report.results):
+            np.testing.assert_array_equal(
+                res.rgb, decode_bytes_oracle(data).rgb,
+                err_msg=f"{wire}:{name}")
+
+    def test_input_pipeline_wire_modes_identical(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch,
+        )
+        blobs = [encode_jpeg(np.roll(photo_image, i, 0), quality=75,
+                             sampling="4:2:0") for i in range(3)]
+        a, _ = decode_same_size_batch(blobs, lane_tile=128, wire="auto")
+        b, _ = decode_same_size_batch(blobs, lane_tile=128, wire="i16")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_config_rejects_bad_wire(self):
+        with pytest.raises(ValueError):
+            EngineConfig(wire="int8").validate()
