@@ -180,13 +180,22 @@ def main():
     from pim_jpeg_decoder_tpu.utils.devbench import devloop_seconds_per_launch
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
+    from pim_jpeg_decoder_tpu.utils.devbench import rotating_args_step
+
     ensure_compilation_cache()
     rng = np.random.default_rng(0)
-    coeffs = jax.device_put(
+    # Rotate the big input across 8 buffers (> VMEM total) so XLA cannot
+    # promote a loop-invariant buffer on-chip; devbench's loop-carried
+    # guard serializes iterations (see devbench docstring, both hazards).
+    coeff_rot = [jax.device_put(
         rng.integers(-200, 200, (M, MODE.g, 64)).astype(np.int16))
+        for _ in range(8)]
+    coeffs = coeff_rot[0]
     qidx = jax.device_put((np.arange(M) % Q).astype(np.int32))
-    qpools = jax.device_put(
-        rng.integers(1, 64, (8, Q, MODE.g, 64)).astype(np.float32))
+    qpool_rot = [jax.device_put(
+        rng.integers(1, 64, (Q, MODE.g, 64)).astype(np.float32))
+        for _ in range(8)]
+    qpools = jnp.stack(qpool_rot)
 
     prod_ref = jax.jit(functools.partial(
         decode_mcus_impl, mode=MODE, lane_tile=LANE_TILE,
@@ -194,8 +203,9 @@ def main():
     want = np.asarray(prod_ref(coeffs, qidx, qpools[0]))
     # int8-wire variants run on clipped coefficients (values must fit i8);
     # their reference is production on the SAME clipped values.
-    coeffs_i8 = jax.device_put(np.clip(np.asarray(coeffs), -127, 127)
-                               .astype(np.int8))
+    coeff_i8_rot = [jax.device_put(np.clip(np.asarray(c), -127, 127)
+                                   .astype(np.int8)) for c in coeff_rot]
+    coeffs_i8 = coeff_i8_rot[0]
     coeffs_i8_as16 = jax.device_put(np.asarray(coeffs_i8).astype(np.int16))
     want_i8 = np.asarray(prod_ref(coeffs_i8_as16, qidx, qpools[0]))
     mp = M * 256 / 1e6
@@ -241,13 +251,16 @@ def main():
                                (3, 1, 2, 0))
             ok = np.array_equal(got, ref)
 
-        def step(i, fn=fn, cin=cin):
-            return fn(cin, qidx, qpools[i % 8])
+        rot = coeff_i8_rot if name in uses_i8 else coeff_rot
+        step = rotating_args_step(
+            lambda c, qp, fn=fn: fn(c, qidx, qp),
+            list(zip(rot, qpool_rot)))
 
         def consume(o):
             return o.reshape(-1)[0].astype(jnp.int32)
 
-        dt = devloop_seconds_per_launch(step, consume, n_hi=132) * 1e6
+        dt = devloop_seconds_per_launch(step, consume, n_lo=8,
+                                        n_hi=264, pairs=4) * 1e6
         results[name] = {"us": round(dt, 1), "gps": round(mp / dt * 1e3, 1),
                          "bit_exact": ok if ok is None else bool(ok)}
         print(name, results[name], flush=True)
