@@ -8,10 +8,11 @@ order, rows padded to 4-byte multiples (pad = width % 4, which equals the
 
 BITMAPCOREHEADER stores 16-bit dimensions; images with a dimension at or
 above 65,536 px fall back to the 40-byte BITMAPINFOHEADER (32-bit signed
-dims) so chunked decode's "no size ceiling" holds through the writer.  The
-reference shares the 16-bit header and therefore the ceiling; the fallback
-is a superset, not a format divergence, for every file the reference can
-produce.
+dims).  The remaining ceiling is the BMP FORMAT's own: 32-bit unsigned
+file-size fields cap any BMP at 4 GiB (~1.43 gigapixels at 24bpp), which
+the writer rejects with a clean error.  The reference shares the 16-bit
+header and therefore the lower ceiling; the fallback is a superset, not a
+format divergence, for every file the reference can produce.
 
 Unlike the reference, which walks pixel-by-pixel re-deriving the
 (dpu, block, position) scatter per pixel (reference: src/bmp_writer.cpp:51-60),
@@ -43,19 +44,27 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     pad = width % 4
     row_bytes = width * 3 + pad
 
-    # Bottom-up BGR rows with padding, in one vectorized pass.
-    rows = np.zeros((height, row_bytes), dtype=np.uint8)
-    rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)
-
     if width < 1 << 16 and height < 1 << 16:
         # Reference-exact format (reference: src/bmp_writer.cpp:19-44).
         offset = _CORE_OFFSET
         dib = struct.pack("<IHHHH", 12, width, height, 1, 24)
     else:
         offset = _INFO_OFFSET
+        dib = None  # packed below, after the file-size check
+    file_size = offset + height * row_bytes
+    if file_size > 0xFFFFFFFF:
+        # bfSize/biSizeImage are unsigned 32-bit: the BMP FORMAT caps files
+        # at 4 GiB, so such an image has no valid BMP encoding at all.
+        raise ValueError(
+            f"BMP files cap at 4 GiB (32-bit size fields); {width}x{height}"
+            f" needs {file_size} bytes")
+    if dib is None:
         dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
                           0, height * row_bytes, 2835, 2835, 0, 0)
-    file_size = offset + height * row_bytes
+
+    # Bottom-up BGR rows with padding, in one vectorized pass.
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)
     header = struct.pack("<2sIII", b"BM", file_size, 0, offset) + dib
     return header + rows.tobytes()
 

@@ -79,6 +79,8 @@ def decode_same_size_batch(
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
+    if wire not in ("auto", "i16"):
+        raise ValueError(f"wire must be auto/i16, got {wire!r}")
     if not blobs:
         raise ValueError("empty batch")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache

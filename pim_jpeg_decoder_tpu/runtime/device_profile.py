@@ -22,12 +22,13 @@ import os
 import tempfile
 from typing import Dict, Optional, Tuple
 
-_CACHE_VERSION = 2   # v2: rotating-input protocol (VMEM-promotion fix)
+_CACHE_VERSION = 3   # v3: per-chip M + wire dtype in the key; scaled n_rot
 _CACHE_PATH = os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
                            "phase_cache.json")
 
-# (mode_key, m, lane_tile, transport, scale) observed launch geometry.
-LaunchKey = Tuple[Tuple[int, int, int], int, int, str, int]
+# (mode_key, m_per_chip, lane_tile, transport, scale, wire) observed
+# launch geometry; wire is "i8" (compact coefficient wire) or "i16".
+LaunchKey = Tuple[Tuple[int, int, int], int, int, str, int, str]
 
 
 def _load_cache() -> Dict[str, Dict[str, float]]:
@@ -53,9 +54,9 @@ def _save_cache(entries: Dict[str, Dict[str, float]]) -> None:
 
 
 def _cache_key(key: LaunchKey, device_kind: str) -> str:
-    mode_key, m, lane_tile, transport, scale = key
+    mode_key, m, lane_tile, transport, scale, wire = key
     return "|".join([device_kind, "x".join(map(str, mode_key)), str(m),
-                     str(lane_tile), transport, str(scale)])
+                     str(lane_tile), transport, str(scale), wire])
 
 
 def measure_phases(key: LaunchKey, n_hi: int = 36,
@@ -94,14 +95,20 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
     ensure_compilation_cache()
-    mode_key, m, lane_tile, transport, scale = key
+    mode_key, m, lane_tile, transport, scale, wire = key
     mode = S.mode_for(mode_key)
     rng = np.random.default_rng(0)
     # Rotate every large input so XLA cannot keep a loop-invariant buffer
-    # in VMEM across iterations (devbench "VMEM-PROMOTION HAZARD").
-    n_rot = 8
+    # in VMEM across iterations (devbench "VMEM-PROMOTION HAZARD").  The
+    # rotation working set must exceed VMEM (~16 MB planning number), so
+    # small launch geometries need more buffers; cap the lax.switch fan-out
+    # at 48 (tiny launches are overhead-dominated regardless).
+    wire_np = np.int8 if wire == "i8" else np.int16
+    buf_bytes = m * mode.g * 64 * np.dtype(wire_np).itemsize
+    n_rot = int(min(48, max(8, -(-48 * 2**20 // max(1, buf_bytes)))))
+    lo, hi = (-100, 100) if wire == "i8" else (-200, 200)
     coeff_rot = [jax.device_put(
-        rng.integers(-200, 200, (m, mode.g, 64)).astype(np.int16))
+        rng.integers(lo, hi, (m, mode.g, 64)).astype(wire_np))
         for _ in range(n_rot)]
     qidx = jax.device_put((np.arange(m) % 4).astype(np.int32))
     qpool_rot = [jax.device_put(

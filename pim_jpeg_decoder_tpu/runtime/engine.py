@@ -258,33 +258,45 @@ class DecodeEngine:
             return True
         return mode.ycbcr_saves_bytes
 
-    def _dispatch_batch(self, batch: Batch, timers: StageTimers,
-                        launch_stats: Optional[Dict[tuple, int]] = None):
+    def _launch_key(self, batch: Batch, sharded: bool) -> tuple:
+        """Launch geometry for the device-phase profile: PER-CHIP MCU
+        count (a mesh launch runs M/n_devices per chip) + wire dtype (the
+        int8 wire compiles a distinct, cheaper-input program)."""
+        m = int(batch.coeffs.shape[0])
+        if sharded:
+            m //= self._mesh.devices.size
+        wire = "i8" if batch.coeffs.dtype == np.int8 else "i16"
+        return ((batch.mode.h, batch.mode.v, batch.mode.ncomp), m,
+                self.lane_tile, batch.transport, self.scale, wire)
+
+    def _dispatch_batch(self, batch: Batch, timers: StageTimers):
         """Launch the fused kernel asynchronously (JAX dispatch returns
         immediately; the device pipeline below overlaps execution + D2H of
-        batch N with dispatch of batch N+1)."""
+        batch N with dispatch of batch N+1).
+
+        Returns ``(device_output, launch_key)`` — the key is recorded by
+        the caller only AFTER a successful dispatch, so failed launches
+        never inflate the device-phase report.
+        """
         ycbcr = self._use_ycbcr(batch.mode)
         batch.transport = "ycbcr" if ycbcr else "rgb"
-        if launch_stats is not None:
-            # Consumer thread is the only writer; no locking needed.
-            key = ((batch.mode.h, batch.mode.v, batch.mode.ncomp),
-                   int(batch.coeffs.shape[0]), self.lane_tile,
-                   batch.transport, self.scale)
-            launch_stats[key] = launch_stats.get(key, 0) + 1
         with timers.stage("kernel"):
-            if self._mesh is not None and (
-                    batch.coeffs.shape[0]
-                    % (self._mesh.devices.size * self.lane_tile) == 0):
+            sharded = self._mesh is not None and (
+                batch.coeffs.shape[0]
+                % (self._mesh.devices.size * self.lane_tile) == 0)
+            key = self._launch_key(batch, sharded)
+            if sharded:
                 from pim_jpeg_decoder_tpu.parallel.sharding import (
                     decode_mcus_sharded,
                 )
                 return decode_mcus_sharded(
                     batch.coeffs, batch.qidx, batch.qpool, batch.mode,
                     mesh=self._mesh, lane_tile=self.lane_tile,
-                    raw=not ycbcr, ycbcr=ycbcr, scale=self.scale)
+                    raw=not ycbcr, ycbcr=ycbcr, scale=self.scale), key
             return decode_mcus(batch.coeffs, batch.qidx, batch.qpool,
                                batch.mode, lane_tile=self.lane_tile,
-                               raw=not ycbcr, ycbcr=ycbcr, scale=self.scale)
+                               raw=not ycbcr, ycbcr=ycbcr,
+                               scale=self.scale), key
 
     def _finish_batch(self, batch: Batch, raw_rgb_dev, timers: StageTimers,
                       write: bool, results: Dict[int, FileResult]) -> None:
@@ -389,7 +401,11 @@ class DecodeEngine:
                 if batch is None:
                     break
                 try:
-                    dev = self._dispatch_batch(batch, timers, launch_stats)
+                    dev, launch_key = self._dispatch_batch(batch, timers)
+                    # Consumer thread is the only writer; count only
+                    # launches that actually dispatched.
+                    launch_stats[launch_key] = (
+                        launch_stats.get(launch_key, 0) + 1)
                     # Start the D2H transfer immediately so it overlaps the
                     # host-side assembly/BMP write of the previous batch
                     # (the D2H half of the reference's copy/exec overlap,

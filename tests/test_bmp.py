@@ -88,3 +88,12 @@ class TestBmpInfoHeaderFallback:
     def test_small_images_keep_reference_exact_core_header(self):
         data = encode_bmp(np.zeros((65535, 1, 3), np.uint8))
         assert struct.unpack_from("<I", data, 14)[0] == 12
+
+    def test_rejects_over_4gib_file(self):
+        """bfSize/biSizeImage are u32: the BMP format caps at 4 GiB; the
+        writer must refuse cleanly instead of struct.error-ing."""
+        class FakeRGB:
+            ndim, dtype = 3, np.dtype(np.uint8)
+            shape = (65535, 65535, 3)
+        with pytest.raises(ValueError, match="4 GiB"):
+            encode_bmp(FakeRGB())

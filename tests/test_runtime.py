@@ -284,12 +284,13 @@ def test_engine_records_launch_stats(photo_image):
     report = engine.decode_named_blobs([("a", data), ("b", data)])
     assert report.ok_count == 2
     assert sum(report.launch_stats.values()) >= 1
-    (mode_key, m, lane_tile, transport, scale) = next(
+    (mode_key, m, lane_tile, transport, scale, wire) = next(
         iter(report.launch_stats))
     assert mode_key == (2, 2, 3)
     assert m % lane_tile == 0
     assert transport in ("rgb", "ycbcr")
     assert scale == 1
+    assert wire in ("i8", "i16")
     # print_profile with device phases must be a no-op on CPU (no crash,
     # no bogus interpret-mode numbers).
     report.print_profile(device_phases="cached")

@@ -151,11 +151,20 @@ class TestInt8CoefficientWire:
         # isn't exercised.
         h = scan_jpeg(blobs[1][1])
         assert int(np.abs(decode_scan(h)).max()) > 127
+        # One image per batch: co-batching would let the q100 image force
+        # the WHOLE batch to int16 and the int8 staging path would never
+        # run under wire='auto'.
         cfg = EngineConfig(budget_mcus=1024, lane_tile=128,
-                           prepare_threads=1, wire=wire)
+                           prepare_threads=1, wire=wire,
+                           max_images_per_batch=1)
         engine = DecodeEngine(keep_rgb=True, config=cfg)
         report = engine.decode_named_blobs(blobs)
         assert report.ok_count == 2, [r.error for r in report.results]
+        # launch_stats records the wire dtype per launch: under 'auto' the
+        # int8-fitting batch must actually ship i8 and the q100 batch i16;
+        # under 'i16' everything ships i16.
+        wires = {k[5] for k in report.launch_stats}
+        assert wires == ({"i8", "i16"} if wire == "auto" else {"i16"})
         for (name, data), res in zip(blobs, report.results):
             np.testing.assert_array_equal(
                 res.rgb, decode_bytes_oracle(data).rgb,
