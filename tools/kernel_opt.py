@@ -82,6 +82,60 @@ def _kernel_memfloor(mode, lane_tile, num_images):
     return kernel
 
 
+# --- V2: chroma pass-2 ONCE per component; row replication via sublane
+# repeat at the term add.  Production runs chroma pass-2 per distinct qv
+# (2x per component at 4:2:0) so row replication is free list selection;
+# this variant computes terms at TRUE chroma resolution (all 8 chroma rows
+# in one array) and row-replicates each slot's 4-row term slice with
+# pltpu.repeat (one sublane-repeat per slot x channel).
+
+def _kernel_chroma_truerez(mode, lane_tile, num_images):
+    gy = mode.luma_slots
+    rh, rw = 8 // mode.v, 8 // mode.h
+    from pim_jpeg_decoder_tpu.ops.decode_kernel import (_idct_pass1,
+                                                        _idct_pass2)
+
+    def kernel(qidx_ref, coeff_ref, qpool_ref, out_ref):
+        t = lane_tile
+        onehot = _onehot(qidx_ref, num_images, t)
+
+        def deq_slot(s):
+            qrow = jax.lax.dot(qpool_ref[s], onehot,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
+            d = coeff_ref[s].astype(jnp.int32) * qrow
+            return jnp.clip(d, -S.DEQUANT_CLAMP - 1,
+                            S.DEQUANT_CLAMP).reshape(8, 8, t)
+
+        spat = [_assemble_pm(_idct_pass2(_idct_pass1(deq_slot(s))))
+                for s in range(gy)]
+
+        # ONE pass-2 per chroma component, un-replicated rows.
+        chroma_cols = [_idct_pass2(_idct_pass1(deq_slot(gy + ci)))
+                       for ci in range(2)]
+        t0, t1, t2 = _color_terms(chroma_cols[0], chroma_cols[1])
+        terms = (t0, t1, t2)        # each: list over p of [8 rows, T]
+
+        for s in range(gy):
+            qv, qh = mode.luma_slot_pos(s)
+            y128 = spat[s] + 128
+            for ch in range(3):
+                cols = terms[ch]
+                if mode.h != 1:
+                    cols = [cols[qh * rw + p // mode.h] for p in range(8)]
+                term = jnp.stack(cols, axis=0)       # [8(p), 8(r), T]
+                if mode.v != 1:
+                    sub = term[:, qv * rh:(qv + 1) * rh, :]   # [8, rh, T]
+                    # Elementwise row repeat (aabb; pltpu.repeat is tile-
+                    # semantics abab): broadcast + reshape.
+                    term = jnp.broadcast_to(
+                        sub[:, :, None, :], (8, rh, mode.v, t)
+                    ).reshape(8, 8, t)
+                out_ref[ch, s * 64:(s + 1) * 64, :] = _to_u8(y128 + term, t)
+
+    return kernel
+
+
 # --- V1: luma slots stacked into ONE butterfly chain -------------------------
 
 def _kernel_stacked(mode, lane_tile, num_images, fuse_deq_mm=False):
@@ -223,6 +277,7 @@ def main():
         # vector arithmetic anyway).
         "memfloor_i8": variant_call(_kernel_memfloor, wire_dtype=jnp.int8),
         "prod_i8": variant_call(_prod_kernel_builder, wire_dtype=jnp.int8),
+        "chroma_truerez": variant_call(_kernel_chroma_truerez),
         "prod": lambda c, qi, qp: decode_mcus_impl(
             c, qi, qp, mode=MODE, lane_tile=LANE_TILE,
             interpret=jax.default_backend() != "tpu", raw=True),
