@@ -123,3 +123,119 @@ def decode_same_size_batch(
         height=-(-h0.height // scale), width=-(-h0.width // scale),
         scale=scale)
     return out, headers
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
+                     "crop_h", "crop_w"),
+)
+def _decode_batch_crops_jit(coeffs, qidx, qpool, oys, oxs, *,
+                            mode: S.ModeSpec, lane_tile: int,
+                            interpret: bool, batch: int, gh: int, gw: int,
+                            crop_h: int, crop_w: int):
+    raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
+                           lane_tile=lane_tile, interpret=interpret,
+                           raw=True)
+    v, h = mode.v, mode.h
+    per_img = gh * gw
+    img = raw[..., : batch * per_img]
+    img = img.reshape(3, v, h, 8, 8, batch, gh, gw)
+    img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
+    img = img.reshape(batch, gh * v * 8, gw * h * 8, 3)
+    # Per-image sub-pixel offset into the covering MCU grid (on device).
+    return jax.vmap(
+        lambda im, oy, ox: jax.lax.dynamic_slice(
+            im, (oy, ox, jnp.int32(0)), (crop_h, crop_w, 3)))(img, oys, oxs)
+
+
+def decode_same_size_batch_crops(
+    blobs: Sequence[bytes],
+    boxes: Sequence[Tuple[int, int]],
+    crop_hw: Tuple[int, int],
+    lane_tile: int = LANE_TILE,
+    prepare_threads: int = 4,
+    wire: str = "auto",
+) -> Tuple[jax.Array, List[JpegHeader]]:
+    """Decode one ``crop_h x crop_w`` crop per image -> ``[B, ch, cw, 3]``.
+
+    The ML-input-pipeline random-crop primitive: per-image crop origins
+    ``boxes[i] = (y0, x0)`` (top-left, pixel units), one fixed crop size.
+    Entropy decode is whole-scan (serial bitstream), but device work and
+    the coefficient H2D wire shrink to each crop's covering MCU sub-grid —
+    ~(image area / crop area)x less than a full decode for pipelines that
+    crop anyway.  Pixels are bit-identical to the same slice of a full
+    decode; the per-image pixel offset is applied on device
+    (vmapped ``dynamic_slice``), so the batch never leaves the chip.
+
+    All images must share dimensions and sampling mode (as in
+    :func:`decode_same_size_batch`).
+    """
+    if wire not in ("auto", "i16"):
+        raise ValueError(f"wire must be auto/i16, got {wire!r}")
+    if not blobs:
+        raise ValueError("empty batch")
+    if len(boxes) != len(blobs):
+        raise ValueError(f"{len(boxes)} boxes for {len(blobs)} images")
+    crop_h, crop_w = crop_hw
+    if crop_h <= 0 or crop_w <= 0:
+        raise ValueError(f"invalid crop size {crop_hw}")
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
+    headers = [scan_jpeg(b) for b in blobs]
+    h0 = headers[0]
+    mode = S.mode_for(h0.mode_key)
+    for h in headers[1:]:
+        if (h.width, h.height, h.mode_key) != (h0.width, h0.height,
+                                               h0.mode_key):
+            raise JpegError(
+                "decode_same_size_batch_crops requires identical dimensions "
+                f"and sampling: {(h.width, h.height, h.mode_key)} != "
+                f"{(h0.width, h0.height, h0.mode_key)}")
+    for y0, x0 in boxes:
+        if not (0 <= y0 and 0 <= x0 and y0 + crop_h <= h0.height
+                and x0 + crop_w <= h0.width):
+            raise ValueError(
+                f"crop [{y0}:{y0 + crop_h}, {x0}:{x0 + crop_w}] outside "
+                f"{h0.height}x{h0.width}")
+
+    px_h, px_w = mode.mcu_px_h, mode.mcu_px_w
+    gh, gw = h0.mcu_rows, h0.mcu_cols
+    # Fixed covering sub-grid: +1 MCU of slack absorbs arbitrary sub-MCU
+    # alignment; clamping the origin to keep the grid in-bounds keeps the
+    # SHAPE static (the pixel offset below compensates).
+    gh_c = min(gh, -(-crop_h // px_h) + 1)
+    gw_c = min(gw, -(-crop_w // px_w) + 1)
+
+    batch = len(blobs)
+    per_img = gh_c * gw_c
+    m_pad = -(-(batch * per_img) // lane_tile) * lane_tile
+    coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
+    qidx = np.zeros(m_pad, np.int32)
+    oys = np.zeros(batch, np.int32)
+    oxs = np.zeros(batch, np.int32)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max(1, min(prepare_threads, batch))) as pool:
+        decoded = list(pool.map(entropy_decode, headers))
+    for i, ((y0, x0), c) in enumerate(zip(boxes, decoded)):
+        r0 = min(y0 // px_h, gh - gh_c)
+        c0 = min(x0 // px_w, gw - gw_c)
+        oys[i] = y0 - r0 * px_h
+        oxs[i] = x0 - c0 * px_w
+        grid = c[: gh * gw].reshape(gh, gw, mode.g, 64)
+        sub = grid[r0:r0 + gh_c, c0:c0 + gw_c].reshape(-1, mode.g, 64)
+        coeffs[i * per_img:(i + 1) * per_img] = sub
+        qidx[i * per_img:(i + 1) * per_img] = i
+    qpool = build_qpool(headers, mode)
+
+    if wire == "auto":
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+        coeffs = compact_wire(coeffs)
+    out = _decode_batch_crops_jit(
+        jnp.asarray(coeffs), jnp.asarray(qidx),
+        jnp.asarray(qpool, jnp.float32),
+        jnp.asarray(oys), jnp.asarray(oxs),
+        mode=mode, lane_tile=lane_tile, interpret=_interpret(),
+        batch=batch, gh=gh_c, gw=gw_c, crop_h=crop_h, crop_w=crop_w)
+    return out, headers

@@ -198,6 +198,14 @@ def phase_report_lines(launch_stats: Dict[LaunchKey, int],
         lines.append(" - Device phase breakdown: unavailable "
                      "(no cached measurement; run with --device-profile)")
         return lines
+    if totals["fused_us"] <= 0.0:
+        # Clamped-to-zero paired differences: the launches are too small
+        # for the device loop to resolve above tunnel noise — phase
+        # attribution would be meaningless.
+        lines.append(" - Device phase breakdown: below measurement noise "
+                     f"for these launch sizes ({measured_launches} "
+                     "launches; larger batches resolve)")
+        return lines
     lines.append(f" - TPU kernel device time (measured, {measured_launches}"
                  f"/{total_launches} launches): "
                  f"{totals['fused_us'] / 1e6:.6f} (s)")

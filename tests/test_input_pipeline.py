@@ -56,3 +56,71 @@ def test_scaled_batch_matches_decode_scaled(photo_image):
     for i, b in enumerate(blobs):
         np.testing.assert_array_equal(out[i], decode_scaled(b, 2,
                                                             lane_tile=128))
+
+
+class TestBatchedCrops:
+    """decode_same_size_batch_crops: the random-crop input-pipeline
+    primitive — per-image crop origins, fixed crop size, device work
+    restricted to each crop's covering MCU sub-grid, bit-identical to
+    slices of a full decode."""
+
+    def _blobs(self, photo_image, n=4, sampling="4:2:0"):
+        return [encode_jpeg(np.roll(photo_image, 11 * i, axis=0),
+                            quality=80, sampling=sampling)
+                for i in range(n)]
+
+    @pytest.mark.parametrize("sampling", ["4:2:0", "4:2:2", "4:4:4"])
+    def test_matches_full_decode_slices(self, photo_image, sampling):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+        blobs = self._blobs(photo_image, sampling=sampling)
+        # Unaligned offsets, corners, and the exact bottom-right edge
+        # (160x120 images; 56x72 crops).
+        boxes = [(0, 0), (3, 5), (120 - 56, 160 - 72), (37, 88)]
+        out, headers = decode_same_size_batch_crops(
+            blobs, boxes, (56, 72), lane_tile=128)
+        out = np.asarray(out)
+        assert out.shape == (4, 56, 72, 3)
+        for i, (data, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            want = decode_bytes_oracle(data).rgb[y0:y0 + 56, x0:x0 + 72]
+            np.testing.assert_array_equal(out[i], want, err_msg=f"crop {i}")
+
+    def test_crop_smaller_than_one_mcu(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+        blobs = self._blobs(photo_image, n=2)
+        boxes = [(13, 29), (100, 140)]
+        out, _ = decode_same_size_batch_crops(blobs, boxes, (9, 11),
+                                              lane_tile=128)
+        out = np.asarray(out)
+        for i, (data, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            want = decode_bytes_oracle(data).rgb[y0:y0 + 9, x0:x0 + 11]
+            np.testing.assert_array_equal(out[i], want)
+
+    def test_full_image_crop(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+        blobs = self._blobs(photo_image, n=2)
+        out, _ = decode_same_size_batch_crops(
+            blobs, [(0, 0), (0, 0)], (120, 160), lane_tile=128)
+        for i, data in enumerate(blobs):
+            np.testing.assert_array_equal(np.asarray(out)[i],
+                                          decode_bytes_oracle(data).rgb)
+
+    def test_rejects_out_of_bounds_and_mismatches(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+        blobs = self._blobs(photo_image, n=2)
+        with pytest.raises(ValueError, match="outside"):
+            decode_same_size_batch_crops(blobs, [(0, 0), (100, 100)],
+                                         (56, 72), lane_tile=128)
+        with pytest.raises(ValueError, match="boxes"):
+            decode_same_size_batch_crops(blobs, [(0, 0)], (8, 8),
+                                         lane_tile=128)
+        with pytest.raises(ValueError, match="wire"):
+            decode_same_size_batch_crops(blobs, [(0, 0), (0, 0)], (8, 8),
+                                         lane_tile=128, wire="i8")
