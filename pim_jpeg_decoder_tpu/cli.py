@@ -29,6 +29,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                         choices=(1, 2, 4, 8),
                         help="decode at 1/scale resolution "
                              "(reduced IDCT, like djpeg -scale)")
+    parser.add_argument("--transport", default=None,
+                        choices=("auto", "rgb", "ycbcr"),
+                        help="device->host transport: ycbcr halves D2H "
+                             "bytes for subsampled modes (default auto)")
+    parser.add_argument("--wire", default=None, choices=("auto", "i16"),
+                        help="host->device coefficient wire: auto ships "
+                             "int8 when the batch fits, halving H2D bytes "
+                             "(default auto)")
     parser.add_argument("--no-sort", action="store_true",
                         help="do not sort inputs by file size")
     parser.add_argument("--no-write", action="store_true",
@@ -54,12 +62,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
 
-    engine = DecodeEngine(
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    engine = DecodeEngine(config=EngineConfig.from_env(
         budget_mcus=args.batch_mcus,
         lane_tile=args.lane_tile,
         prepare_threads=args.prepare_threads,
         scale=args.scale,
-    )
+        transport=args.transport,
+        wire=args.wire,
+    ))
     if not args.quiet:
         # Allocation banner (reference: src/decoder_host.cpp:362
         # "N dpus are allocated").

@@ -22,7 +22,7 @@ import os
 import tempfile
 from typing import Dict, Optional, Tuple
 
-_CACHE_VERSION = 3   # v3: per-chip M + wire dtype in the key; scaled n_rot
+_CACHE_VERSION = 4   # v4: noise-adaptive loop-length ladder
 _CACHE_PATH = os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
                            "phase_cache.json")
 
@@ -116,10 +116,20 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
         for _ in range(n_rot)]
 
     def us(step, consume):
-        # Tiny launches are overhead-dominated; the paired difference can
-        # go (meaninglessly) negative there — clamp to "below noise".
-        return max(0.0, devloop_seconds_per_launch(step, consume, n_hi=n_hi,
-                                                   pairs=3) * 1e6)
+        # The paired-difference signal must dominate tunnel round-trip
+        # noise (~ms).  Probe once at n_hi; if the total signal is under
+        # ~15 ms, re-measure ONCE at the smallest ladder step expected to
+        # reach ~25 ms (a fixed ladder keeps the compiled loop-program
+        # set small — each distinct n is its own XLA program).
+        val = devloop_seconds_per_launch(step, consume, n_hi=n_hi, pairs=3)
+        if val * n_hi < 0.015:
+            want = 0.025 / max(val, 2.5e-5)   # <=1000 even if val clamps
+            n2 = next((n for n in (264, 1024) if n >= min(want, 1024)),
+                      1024)
+            if n2 > n_hi:
+                val = devloop_seconds_per_launch(step, consume, n_hi=n2,
+                                                 pairs=3)
+        return max(0.0, val * 1e6)
 
     out: Dict[str, float] = {}
     ycbcr = transport == "ycbcr"
