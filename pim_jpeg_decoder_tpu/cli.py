@@ -61,7 +61,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.environ["PIM_JPEG_TPU_PROFILE"] = args.profile
 
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
-
     from pim_jpeg_decoder_tpu.utils.config import EngineConfig
 
     engine = DecodeEngine(config=EngineConfig.from_env(

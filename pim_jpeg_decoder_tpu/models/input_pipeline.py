@@ -59,6 +59,40 @@ def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
     return img[:, :height, :width, :]
 
 
+def _scan_same_size(blobs: Sequence[bytes], caller: str):
+    """Parse headers and enforce the identical-(size, mode) contract."""
+    headers = [scan_jpeg(b) for b in blobs]
+    h0 = headers[0]
+    for h in headers[1:]:
+        if (h.width, h.height, h.mode_key) != (h0.width, h0.height,
+                                               h0.mode_key):
+            raise JpegError(
+                f"{caller} requires identical dimensions and sampling: "
+                f"{(h.width, h.height, h.mode_key)} != "
+                f"{(h0.width, h0.height, h0.mode_key)}")
+    return headers, h0, S.mode_for(h0.mode_key)
+
+
+def _entropy_decode_pool(headers, prepare_threads: int):
+    """Entropy decode in parallel (the C++ decoder releases the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max(1, min(prepare_threads,
+                                       len(headers)))) as pool:
+        return list(pool.map(entropy_decode, headers))
+
+
+def _check_wire(wire: str) -> None:
+    if wire not in ("auto", "i16"):
+        raise ValueError(f"wire must be auto/i16, got {wire!r}")
+
+
+def _maybe_compact(coeffs, wire: str):
+    if wire == "auto":
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+        return compact_wire(coeffs)
+    return coeffs
+
+
 def decode_same_size_batch(
     blobs: Sequence[bytes],
     lane_tile: int = LANE_TILE,
@@ -79,22 +113,12 @@ def decode_same_size_batch(
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
-    if wire not in ("auto", "i16"):
-        raise ValueError(f"wire must be auto/i16, got {wire!r}")
+    _check_wire(wire)
     if not blobs:
         raise ValueError("empty batch")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
-    headers = [scan_jpeg(b) for b in blobs]
-    h0 = headers[0]
-    mode = S.mode_for(h0.mode_key)
-    for h in headers[1:]:
-        if (h.width, h.height, h.mode_key) != (h0.width, h0.height,
-                                               h0.mode_key):
-            raise JpegError(
-                "decode_same_size_batch requires identical dimensions and "
-                f"sampling: {(h.width, h.height, h.mode_key)} != "
-                f"{(h0.width, h0.height, h0.mode_key)}")
+    headers, h0, mode = _scan_same_size(blobs, "decode_same_size_batch")
 
     batch = len(blobs)
     per_img = h0.num_mcus
@@ -103,18 +127,12 @@ def decode_same_size_batch(
 
     coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
     qidx = np.zeros(m_pad, np.int32)
-    # Entropy decode in parallel: the C++ decoder releases the GIL.
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max(1, min(prepare_threads, batch))) as pool:
-        decoded = list(pool.map(entropy_decode, headers))
-    for i, c in enumerate(decoded):
+    for i, c in enumerate(_entropy_decode_pool(headers, prepare_threads)):
         coeffs[i * per_img:(i + 1) * per_img] = c
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
 
-    if wire == "auto":
-        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
-        coeffs = compact_wire(coeffs)
+    coeffs = _maybe_compact(coeffs, wire)
     out = _decode_batch_jit(
         jnp.asarray(coeffs), jnp.asarray(qidx),
         jnp.asarray(qpool, jnp.float32),
@@ -171,8 +189,7 @@ def decode_same_size_batch_crops(
     All images must share dimensions and sampling mode (as in
     :func:`decode_same_size_batch`).
     """
-    if wire not in ("auto", "i16"):
-        raise ValueError(f"wire must be auto/i16, got {wire!r}")
+    _check_wire(wire)
     if not blobs:
         raise ValueError("empty batch")
     if len(boxes) != len(blobs):
@@ -182,16 +199,8 @@ def decode_same_size_batch_crops(
         raise ValueError(f"invalid crop size {crop_hw}")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
-    headers = [scan_jpeg(b) for b in blobs]
-    h0 = headers[0]
-    mode = S.mode_for(h0.mode_key)
-    for h in headers[1:]:
-        if (h.width, h.height, h.mode_key) != (h0.width, h0.height,
-                                               h0.mode_key):
-            raise JpegError(
-                "decode_same_size_batch_crops requires identical dimensions "
-                f"and sampling: {(h.width, h.height, h.mode_key)} != "
-                f"{(h0.width, h0.height, h0.mode_key)}")
+    headers, h0, mode = _scan_same_size(blobs,
+                                        "decode_same_size_batch_crops")
     for y0, x0 in boxes:
         if not (0 <= y0 and 0 <= x0 and y0 + crop_h <= h0.height
                 and x0 + crop_w <= h0.width):
@@ -215,9 +224,7 @@ def decode_same_size_batch_crops(
     oys = np.zeros(batch, np.int32)
     oxs = np.zeros(batch, np.int32)
 
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max(1, min(prepare_threads, batch))) as pool:
-        decoded = list(pool.map(entropy_decode, headers))
+    decoded = _entropy_decode_pool(headers, prepare_threads)
     for i, ((y0, x0), c) in enumerate(zip(boxes, decoded)):
         r0 = min(y0 // px_h, gh - gh_c)
         c0 = min(x0 // px_w, gw - gw_c)
@@ -229,9 +236,7 @@ def decode_same_size_batch_crops(
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
 
-    if wire == "auto":
-        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
-        coeffs = compact_wire(coeffs)
+    coeffs = _maybe_compact(coeffs, wire)
     out = _decode_batch_crops_jit(
         jnp.asarray(coeffs), jnp.asarray(qidx),
         jnp.asarray(qpool, jnp.float32),

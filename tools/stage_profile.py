@@ -29,11 +29,6 @@ def devloop_us(make_step, consume):
     return devloop_seconds_per_launch(make_step, consume, n_hi=68) * 1e6
 
 
-def rotated(fn, args_list):
-    from pim_jpeg_decoder_tpu.utils.devbench import rotating_args_step
-    return rotating_args_step(fn, args_list)
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -65,6 +60,7 @@ def main() -> None:
 
     from pim_jpeg_decoder_tpu.ops.stage_kernels import (dequantize_stage,
                                                         idct_stage)
+    from pim_jpeg_decoder_tpu.utils.devbench import rotating_args_step as rotated
     kw = dict(mode=mode, lane_tile=LANE_TILE, interpret=False)
     deq_rot = [dequantize_stage(c, qidx, qp, **kw)
                for c, qp in zip(coeff_rot, qpool_rot)]
