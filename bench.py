@@ -197,6 +197,8 @@ def bench_e2e(blobs) -> tuple:
         assert report.ok_count == len(blobs), [
             r.error for r in report.results if not r.ok]
         rates.append(report.total_megapixels / dt)
+        if dt > 120:
+            break  # tunnel-crawl window: don't triple a multi-minute pass
     rates.sort()
     return rates[len(rates) // 2], rates[-1]
 
@@ -236,7 +238,13 @@ def bench_e2e_device(blobs) -> float:
         return mp / (time.monotonic() - t0)
 
     run(1)  # warmup: compile
-    rates = sorted(run(r) for r in (2, 3, 4))
+    rates = []
+    t0 = time.monotonic()
+    for r in (2, 3, 4):
+        rates.append(run(r))
+        if time.monotonic() - t0 > 120:
+            break  # tunnel-crawl window
+    rates.sort()
     return rates[len(rates) // 2]
 
 
@@ -272,7 +280,24 @@ def make_variety_corpus() -> list:
     return out
 
 
-def check_bit_exact(blobs, variety) -> dict:
+def probe_tunnel_mbps() -> float:
+    """Round-trip a 4 MB buffer once: crude H2D+D2H bandwidth estimate.
+
+    The remote-TPU tunnel swings from ~45 MB/s to <0.5 MB/s between
+    windows; transfer-heavy bench sections scale themselves down in crawl
+    windows (labeled in the JSON) so one bad window can't starve the
+    whole report.
+    """
+    import jax
+
+    buf = np.zeros((4 << 20,), np.uint8)
+    t0 = time.monotonic()
+    np.asarray(jax.device_put(buf))
+    dt = time.monotonic() - t0
+    return (2 * buf.nbytes / 1e6) / max(dt, 1e-6)
+
+
+def check_bit_exact(blobs, variety, reduced: bool = False) -> dict:
     """On-hardware bit-exactness sweep vs the NumPy oracle.
 
     Every corpus + variety image through the engine in BOTH wire transports
@@ -293,16 +318,26 @@ def check_bit_exact(blobs, variety) -> dict:
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
     from pim_jpeg_decoder_tpu.utils.config import EngineConfig
 
+    if reduced:
+        # Crawl-window fallback: every mode/transport/path still covered
+        # (variety spans all modes; 3 corpus images keep the real-photo
+        # spectra), just not the full 48-image corpus.
+        blobs = blobs[:3]
     all_imgs = list(blobs) + list(variety)
     oracle = {name: decode_bytes_oracle(data).rgb for name, data in all_imgs}
     failures = []
     checks = 0
 
-    for transport in ("auto", "rgb"):
+    # auto transport over EVERYTHING; the forced-RGB transport pass over
+    # the variety set only — RGB-vs-YCbCr divergence would be per sampling
+    # mode (kernel variant), not per image, and the variety set covers
+    # every mode, so the full-corpus RGB pass would only re-pay its 2x D2H
+    # bytes (minutes in a slow-tunnel window) for no extra coverage.
+    for transport, imgs in (("auto", all_imgs), ("rgb", list(variety))):
         engine = DecodeEngine(keep_rgb=True, config=EngineConfig(
             budget_mcus=16384, transport=transport))
-        report = engine.decode_named_blobs(all_imgs)
-        for (name, _), res in zip(all_imgs, report.results):
+        report = engine.decode_named_blobs(imgs)
+        for (name, _), res in zip(imgs, report.results):
             checks += 1
             if not res.ok or not np.array_equal(res.rgb, oracle[name]):
                 failures.append(f"{name}[{transport}]")
@@ -330,12 +365,15 @@ def main() -> None:
     variety = make_variety_corpus()
 
     kernel_mps, ycbcr_kernel_mps = bench_device_kernel()
-    e2e_device_mps = bench_e2e_device(blobs)
-    e2e_mps, e2e_best_mps = bench_e2e(blobs)
+    tunnel_mbps = probe_tunnel_mbps()
+    crawl = tunnel_mbps < 5.0
+    e2e_blobs = blobs[:12] if crawl else blobs
+    e2e_device_mps = bench_e2e_device(e2e_blobs)
+    e2e_mps, e2e_best_mps = bench_e2e(e2e_blobs)
     entropy_mps = bench_host_entropy(blobs)
     progressive_mps = bench_progressive(blobs)
     pil_mps = bench_pil(blobs)
-    exact = check_bit_exact(blobs, variety)
+    exact = check_bit_exact(blobs, variety, reduced=crawl)
 
     result = {
         "metric": "JPEG decode throughput per chip (fused dequant+IDCT+color, device-resident)",
@@ -354,7 +392,11 @@ def main() -> None:
         "bit_exact_images": exact["images"],
         "bit_exact_checks": exact["checks"],
         "corpus_images": len(blobs),
+        "tunnel_mbps": round(tunnel_mbps, 2),
+        "e2e_images": len(e2e_blobs),
     }
+    if crawl:
+        result["tunnel_crawl_reduced_sweep"] = True
     if exact["failures"]:
         result["bit_exact_failures"] = exact["failures"]
     print(json.dumps(result))
