@@ -146,25 +146,28 @@ def decode_same_size_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
-                     "crop_h", "crop_w"),
+                     "crop_h", "crop_w", "scale"),
 )
 def _decode_batch_crops_jit(coeffs, qidx, qpool, oys, oxs, *,
                             mode: S.ModeSpec, lane_tile: int,
                             interpret: bool, batch: int, gh: int, gw: int,
-                            crop_h: int, crop_w: int):
+                            crop_h: int, crop_w: int, scale: int = 1):
     raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
                            lane_tile=lane_tile, interpret=interpret,
-                           raw=True)
+                           raw=True, scale=scale)
     v, h = mode.v, mode.h
+    n = 8 // scale
     per_img = gh * gw
     img = raw[..., : batch * per_img]
-    img = img.reshape(3, v, h, 8, 8, batch, gh, gw)
+    img = img.reshape(3, v, h, n, n, batch, gh, gw)
     img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
-    img = img.reshape(batch, gh * v * 8, gw * h * 8, 3)
-    # Per-image sub-pixel offset into the covering MCU grid (on device).
+    img = img.reshape(batch, gh * v * n, gw * h * n, 3)
+    # Per-image sub-pixel offset into the covering MCU grid (on device);
+    # offsets and crop dims arrive pre-divided by scale.
     return jax.vmap(
         lambda im, oy, ox: jax.lax.dynamic_slice(
-            im, (oy, ox, jnp.int32(0)), (crop_h, crop_w, 3)))(img, oys, oxs)
+            im, (oy, ox, jnp.int32(0)),
+            (crop_h // scale, crop_w // scale, 3)))(img, oys, oxs)
 
 
 def decode_same_size_batch_crops(
@@ -174,6 +177,7 @@ def decode_same_size_batch_crops(
     lane_tile: int = LANE_TILE,
     prepare_threads: int = 4,
     wire: str = "auto",
+    scale: int = 1,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode one ``crop_h x crop_w`` crop per image -> ``[B, ch, cw, 3]``.
 
@@ -186,10 +190,19 @@ def decode_same_size_batch_crops(
     decode; the per-image pixel offset is applied on device
     (vmapped ``dynamic_slice``), so the batch never leaves the chip.
 
+    ``scale`` in {1, 2, 4, 8} combines the crop with reduced-IDCT scaled
+    decode (the RandomResizedCrop pattern: crop then downsize): the output
+    is ``[B, crop_h/scale, crop_w/scale, 3]``, pixel-identical to the same
+    slice of a full scaled decode.  Crop origins and dims must be
+    multiples of ``scale`` (a scaled pixel covers a scale x scale full-res
+    block, so other crops have no exact scaled representation).
+
     All images must share dimensions and sampling mode (as in
     :func:`decode_same_size_batch`).
     """
     _check_wire(wire)
+    if scale not in (1, 2, 4, 8):
+        raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     if not blobs:
         raise ValueError("empty batch")
     if len(boxes) != len(blobs):
@@ -197,6 +210,14 @@ def decode_same_size_batch_crops(
     crop_h, crop_w = crop_hw
     if crop_h <= 0 or crop_w <= 0:
         raise ValueError(f"invalid crop size {crop_hw}")
+    if scale != 1:
+        bad = [(y0, x0) for y0, x0 in boxes
+               if y0 % scale or x0 % scale]
+        if bad or crop_h % scale or crop_w % scale:
+            raise ValueError(
+                f"crop origins and dims must be multiples of scale="
+                f"{scale} (got dims {crop_hw}, offending origins "
+                f"{bad[:3]})")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
     headers, h0, mode = _scan_same_size(blobs,
@@ -228,8 +249,10 @@ def decode_same_size_batch_crops(
     for i, ((y0, x0), c) in enumerate(zip(boxes, decoded)):
         r0 = min(y0 // px_h, gh - gh_c)
         c0 = min(x0 // px_w, gw - gw_c)
-        oys[i] = y0 - r0 * px_h
-        oxs[i] = x0 - c0 * px_w
+        # px_h/px_w are multiples of scale and y0/x0 are validated so, so
+        # the residual offsets divide exactly.
+        oys[i] = (y0 - r0 * px_h) // scale
+        oxs[i] = (x0 - c0 * px_w) // scale
         grid = c[: gh * gw].reshape(gh, gw, mode.g, 64)
         sub = grid[r0:r0 + gh_c, c0:c0 + gw_c].reshape(-1, mode.g, 64)
         coeffs[i * per_img:(i + 1) * per_img] = sub
@@ -242,5 +265,6 @@ def decode_same_size_batch_crops(
         jnp.asarray(qpool, jnp.float32),
         jnp.asarray(oys), jnp.asarray(oxs),
         mode=mode, lane_tile=lane_tile, interpret=_interpret(),
-        batch=batch, gh=gh_c, gw=gw_c, crop_h=crop_h, crop_w=crop_w)
+        batch=batch, gh=gh_c, gw=gw_c, crop_h=crop_h, crop_w=crop_w,
+        scale=scale)
     return out, headers

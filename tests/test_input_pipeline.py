@@ -124,3 +124,39 @@ class TestBatchedCrops:
         with pytest.raises(ValueError, match="wire"):
             decode_same_size_batch_crops(blobs, [(0, 0), (0, 0)], (8, 8),
                                          lane_tile=128, wire="i8")
+
+
+class TestBatchedCropsScaled:
+    """Crop + reduced-scale decode in one launch (RandomResizedCrop)."""
+
+    @pytest.mark.parametrize("scale", [2, 4])
+    def test_matches_scaled_oracle_slices(self, photo_image, scale):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+        from pim_jpeg_decoder_tpu.oracle.decoder import decode_scaled_oracle
+        blobs = [encode_jpeg(np.roll(photo_image, 9 * i, axis=1),
+                             quality=80, sampling="4:2:0") for i in range(3)]
+        ch, cw = 56, 72                    # multiples of 2 and 4
+        boxes = [(0, 0), (4, 8), (120 - ch, 160 - cw)]
+        out, _ = decode_same_size_batch_crops(
+            blobs, boxes, (ch, cw), lane_tile=128, scale=scale)
+        out = np.asarray(out)
+        assert out.shape == (3, ch // scale, cw // scale, 3)
+        for i, (data, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            full = decode_scaled_oracle(data, scale)
+            want = full[y0 // scale:(y0 + ch) // scale,
+                        x0 // scale:(x0 + cw) // scale]
+            np.testing.assert_array_equal(out[i], want, err_msg=f"crop {i}")
+
+    def test_rejects_misaligned_scaled_crop(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+        blobs = [encode_jpeg(photo_image, quality=80, sampling="4:2:0")]
+        with pytest.raises(ValueError, match="multiples of scale"):
+            decode_same_size_batch_crops(blobs, [(3, 0)], (56, 72),
+                                         lane_tile=128, scale=2)
+        with pytest.raises(ValueError, match="multiples of scale"):
+            decode_same_size_batch_crops(blobs, [(0, 0)], (55, 72),
+                                         lane_tile=128, scale=2)

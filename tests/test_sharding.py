@@ -169,3 +169,34 @@ class TestInitializeDistributedGating:
 
     def test_plain_env_is_noop(self, monkeypatch):
         assert self._call(monkeypatch, {}) == []
+
+
+class TestShardedInt8Wire:
+    def test_int8_wire_matches_int16(self, photo_image, eight_device_mesh):
+        """decode_mcus_sharded preserves an int8 coefficient wire
+        (batching.compact_wire) and decodes identically to int16."""
+        from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg as enc
+        data = enc(photo_image, quality=75, sampling="4:2:0")
+        header = scan_jpeg(data)
+        coeffs = decode_scan(header)
+        assert coeffs.min() >= -128 and coeffs.max() <= 127
+        mode = S.mode_for(header.mode_key)
+
+        n = 8 * LANE_TILE
+        m_pad = -(-header.num_mcus // n) * n
+        padded = np.zeros((m_pad, mode.g, 64), np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, np.int32)
+        qpool = build_qpool([header], mode)
+
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+        wire8 = compact_wire(padded)
+        assert wire8.dtype == np.int8
+
+        got = np.asarray(decode_mcus_sharded(
+            wire8, qidx, qpool, mode, mesh=eight_device_mesh,
+            lane_tile=LANE_TILE))
+        want = np.asarray(decode_mcus_sharded(
+            padded, qidx, qpool, mode, mesh=eight_device_mesh,
+            lane_tile=LANE_TILE))
+        np.testing.assert_array_equal(got, want)
