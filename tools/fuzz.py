@@ -1,0 +1,145 @@
+"""Differential fuzz harness: random JPEGs, engine vs oracle, corruptions.
+
+Three properties, checked over randomized streams:
+
+1. DIFFERENTIAL: for any valid baseline/progressive JPEG the engine's
+   pixels equal the NumPy oracle's bit-exactly (any divergence is a real
+   bug in one of the three spec implementations).
+2. ROBUSTNESS: truncations and byte flips of valid streams must produce
+   either a successful decode or a clean per-file error — never a crash,
+   hang, or poisoned sibling image.
+3. API: the batch decoders reject mismatched inputs and accept every
+   fixture they claim to.
+
+Run:  python tools/fuzz.py [iterations] [seed]
+(CPU backend recommended: JAX_PLATFORMS=cpu; kernels run in interpret
+mode there, exercising the identical arithmetic.)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAMPLINGS = ["4:4:4", "4:2:2", "4:4:0", "4:2:0"]
+
+
+def random_jpeg(rng) -> tuple:
+    """(name, bytes) — a random valid JPEG via the in-repo encoder or PIL."""
+    from PIL import Image
+
+    from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+
+    h = int(rng.integers(8, 180))
+    w = int(rng.integers(8, 180))
+    kind = rng.integers(0, 3)
+    if kind == 0:                       # smooth photo-like
+        small = rng.integers(0, 256, (max(2, h // 8), max(2, w // 8), 3),
+                             np.uint8)
+        img = np.array(Image.fromarray(small).resize((w, h),
+                                                     Image.BILINEAR))
+    elif kind == 1:                     # hard noise
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    else:                               # flat + edges
+        img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        img[h // 2:, :] = rng.integers(0, 256, 3, np.uint8)
+
+    q = int(rng.integers(30, 99))
+    if rng.random() < 0.25:             # PIL-encoded (independent encoder)
+        buf = io.BytesIO()
+        pil = Image.fromarray(img)
+        if rng.random() < 0.3:
+            pil = pil.convert("L")
+        pil.save(buf, format="JPEG", quality=q,
+                 subsampling=int(rng.integers(0, 3)),
+                 progressive=bool(rng.random() < 0.3))
+        return f"pil_q{q}", buf.getvalue()
+    gray = rng.random() < 0.15
+    data = encode_jpeg(img[:, :, 0] if gray else img, quality=q,
+                       sampling=str(rng.choice(SAMPLINGS)),
+                       restart_interval=int(rng.choice([0, 0, 1, 3, 7])),
+                       grayscale=gray,
+                       zero_based_ids=bool(rng.random() < 0.1))
+    return f"enc_q{q}", data
+
+
+def main() -> None:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # The ambient axon TPU plugin overrides JAX_PLATFORMS; pin via
+        # config too (must happen before backend init — see conftest).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    engine = DecodeEngine(keep_rgb=True, config=EngineConfig(
+        budget_mcus=1024, lane_tile=128, prepare_threads=2))
+
+    t0 = time.monotonic()
+    stats = {"valid": 0, "mismatch": 0, "corrupt_ok": 0,
+             "corrupt_decoded": 0, "failures": []}
+    batch = []
+    for i in range(iters):
+        name, data = random_jpeg(rng)
+        mode = rng.random()
+        if mode < 0.7:
+            batch.append((f"{i}_{name}", data))
+        elif mode < 0.85 and len(data) > 4:   # truncate
+            cut = int(rng.integers(2, len(data)))
+            batch.append((f"{i}_trunc{cut}_{name}", data[:cut]))
+        else:                                  # flip one byte
+            pos = int(rng.integers(0, len(data)))
+            mutated = bytearray(data)
+            mutated[pos] ^= int(rng.integers(1, 256))
+            batch.append((f"{i}_flip{pos}_{name}", bytes(mutated)))
+
+        if len(batch) < 8 and i != iters - 1:
+            continue
+        report = engine.decode_named_blobs(batch)
+        for (bname, bdata), res in zip(batch, report.results):
+            corrupted = "_trunc" in bname or "_flip" in bname
+            if corrupted:
+                # Never crashes (we got here); either outcome is legal,
+                # but a successful decode must still be a sane raster.
+                if res.ok:
+                    stats["corrupt_decoded"] += 1
+                    assert res.rgb.dtype == np.uint8 and res.rgb.ndim == 3
+                else:
+                    stats["corrupt_ok"] += 1
+                    assert res.error
+                continue
+            stats["valid"] += 1
+            if not res.ok:
+                stats["mismatch"] += 1
+                stats["failures"].append((bname, f"decode failed: {res.error}"))
+                continue
+            want = decode_bytes_oracle(bdata).rgb
+            if not np.array_equal(res.rgb, want):
+                stats["mismatch"] += 1
+                diff = int(np.abs(res.rgb.astype(int)
+                                  - want.astype(int)).max())
+                stats["failures"].append((bname, f"pixel diff max {diff}"))
+        batch = []
+
+    stats["seconds"] = round(time.monotonic() - t0, 1)
+    stats["iterations"] = iters
+    stats["ok"] = stats["mismatch"] == 0
+    print(json.dumps(stats))
+    sys.exit(0 if stats["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
