@@ -81,9 +81,29 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle
+    from pim_jpeg_decoder_tpu.oracle.decoder import (
+        decode_bytes_oracle,
+        decode_scaled_oracle,
+    )
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
     from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    def random_engine():
+        """Random engine geometry: exercises bucketing, dedicated
+        launches, chunked (banded) decode, every transport/wire/scale."""
+        lane_tile = int(rng.choice([8, 32, 128]))
+        budget = lane_tile * int(rng.choice([4, 8, 16]))
+        scale = int(rng.choice([1, 1, 1, 1, 2, 4, 8]))
+        cfg = EngineConfig(
+            budget_mcus=budget, lane_tile=lane_tile, prepare_threads=2,
+            max_launch_mcus=int(rng.choice([budget, budget, 4 * budget])),
+            transport=("auto" if scale != 1 else
+                       str(rng.choice(["auto", "rgb", "ycbcr"]))),
+            wire=str(rng.choice(["auto", "i16"])),
+            scale=scale,
+            max_images_per_batch=int(rng.choice([1, 4, 16])),
+        )
+        return DecodeEngine(keep_rgb=True, config=cfg)
 
     engine = DecodeEngine(keep_rgb=True, config=EngineConfig(
         budget_mcus=1024, lane_tile=128, prepare_threads=2))
@@ -108,6 +128,8 @@ def main() -> None:
 
         if len(batch) < 8 and i != iters - 1:
             continue
+        if rng.random() < 0.3:
+            engine = random_engine()
         report = engine.decode_named_blobs(batch)
         for (bname, bdata), res in zip(batch, report.results):
             corrupted = "_trunc" in bname or "_flip" in bname
@@ -126,7 +148,10 @@ def main() -> None:
                 stats["mismatch"] += 1
                 stats["failures"].append((bname, f"decode failed: {res.error}"))
                 continue
-            want = decode_bytes_oracle(bdata).rgb
+            if engine.scale != 1:
+                want = decode_scaled_oracle(bdata, engine.scale)
+            else:
+                want = decode_bytes_oracle(bdata).rgb
             if not np.array_equal(res.rgb, want):
                 stats["mismatch"] += 1
                 diff = int(np.abs(res.rgb.astype(int)
