@@ -11,9 +11,11 @@ Three properties, checked over randomized streams:
 3. API: the batch decoders reject mismatched inputs and accept every
    fixture they claim to.
 
-Run:  python tools/fuzz.py [iterations] [seed]
+Run:  python tools/fuzz.py [iterations] [seed] [fixed]
 (CPU backend recommended: JAX_PLATFORMS=cpu; kernels run in interpret
-mode there, exercising the identical arithmetic.)
+mode there, exercising the identical arithmetic.  On the TPU backend
+pass ``fixed`` as the 3rd arg to pin one engine geometry — random
+geometries each pay a ~minute Mosaic compile.)
 """
 
 from __future__ import annotations
@@ -128,7 +130,7 @@ def main() -> None:
 
         if len(batch) < 8 and i != iters - 1:
             continue
-        if rng.random() < 0.3:
+        if "fixed" not in sys.argv[3:] and rng.random() < 0.3:
             engine = random_engine()
         report = engine.decode_named_blobs(batch)
         for (bname, bdata), res in zip(batch, report.results):
