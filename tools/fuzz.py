@@ -64,11 +64,22 @@ def random_jpeg(rng) -> tuple:
                  progressive=bool(rng.random() < 0.3))
         return f"pil_q{q}", buf.getvalue()
     gray = rng.random() < 0.15
+    app_segments = None
+    comment = None
+    if rng.random() < 0.2:     # exercise the APPn/COM skip paths
+        app_segments = [bytes(rng.integers(0, 256,
+                                           int(rng.integers(0, 300)),
+                                           np.uint8))
+                        for _ in range(int(rng.integers(1, 4)))]
+    if rng.random() < 0.15:
+        comment = bytes(rng.integers(32, 127, int(rng.integers(0, 200)),
+                                     np.uint8))
     data = encode_jpeg(img[:, :, 0] if gray else img, quality=q,
                        sampling=str(rng.choice(SAMPLINGS)),
                        restart_interval=int(rng.choice([0, 0, 1, 3, 7])),
                        grayscale=gray,
-                       zero_based_ids=bool(rng.random() < 0.1))
+                       zero_based_ids=bool(rng.random() < 0.1),
+                       app_segments=app_segments, comment=comment)
     return f"enc_q{q}", data
 
 
