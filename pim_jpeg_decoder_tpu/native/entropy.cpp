@@ -181,15 +181,30 @@ inline bool build_table(const uint8_t* counts, const uint8_t* symbols,
 // run, the fully sign-extended coefficient value, and the total bits to
 // consume — symbol decode, magnitude read and EXTEND in a single step.
 // 4096 entries x 4 B = 16 KiB per table (L1-resident).
+// The pair extension (run2/val2/bits2) packs a SECOND symbol into the same
+// probe when both symbols' code+magnitude bits fit in the 12-bit window —
+// high-frequency AC tails are runs of +-1 coefficients with 2-4 bit codes,
+// so one L1 load frequently resolves two coefficients (or a coefficient
+// plus the block-terminating EOB), halving the serial load chain.  Only
+// the guarded fast path consults the pair fields; the careful path and the
+// progressive ac_first read value/run/packed exactly as before.
 struct FastAc {
-  int16_t value;   // sign-extended coefficient
-  int8_t run;      // 0..15 coefficient run; 16 = ZRL; 17 = EOB; -1 = slow
-  uint8_t packed;  // (code_length << 4) | total_bits, both <= 12
+  int16_t value;    // sign-extended coefficient
+  int8_t run;       // 0..15 coefficient run; 16 = ZRL; 17 = EOB; -1 = slow
+  uint8_t packed;   // (code_length << 4) | total_bits, both <= 12
+  int16_t val2;     // pair: second coefficient (size2 <= 9 -> +-511); else 0
+  uint8_t run2enc;  // run2 | (pair << 4) | (pair_eob << 5); 0 = single
+  uint8_t bits2;    // total bits: t1 for singles, t1 + t2 for pairs
 };
 
 inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
                           FastAc* fast) {
-  for (int i = 0; i < 4096; ++i) fast[i].run = -1;
+  for (int i = 0; i < 4096; ++i) {
+    fast[i].run = -1;
+    fast[i].val2 = 0;
+    fast[i].run2enc = 0;
+    fast[i].bits2 = 0;
+  }
   int32_t code = 0;
   int k = 0;
   for (int l = 1; l <= 16; ++l) {
@@ -206,6 +221,7 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
           for (int p = 0; p < (1 << (12 - l)); ++p) {
             fast[base + p].run = r;
             fast[base + p].packed = pk;
+            fast[base + p].bits2 = static_cast<uint8_t>(l);
           }
         } else if (size == 0) {
           // Progressive EOBn symbols are INVALID in a baseline scan: leave
@@ -221,6 +237,7 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
               fast[b2 + p].value = val;
               fast[b2 + p].run = static_cast<int8_t>(run);
               fast[b2 + p].packed = pk;
+              fast[b2 + p].bits2 = static_cast<uint8_t>(l + size);
             }
           }
         }
@@ -230,7 +247,133 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
     code = (code + n) << 1;
     k += n;
   }
+
+  // Pair pass: for every fully-resolved coefficient entry, decode the
+  // REMAINDER of the 12-bit window against the table built above.  If it
+  // completes another coefficient (or an EOB) within the window, record
+  // the pair.  |val2| <= 127 always: t1 >= 3 and code2 >= 2 leave
+  // size2 <= 7.
+  for (int i = 0; i < 4096; ++i) {
+    if (fast[i].run < 0 || fast[i].run > 15) continue;
+    const int t1 = fast[i].packed & 0x0F;
+    if (t1 >= 11) continue;  // no room for a 2-bit minimum second code
+    const FastAc f2 = fast[(i << t1) & 0xFFF];
+    if (f2.run < 0) continue;
+    const int t2 = f2.packed & 0x0F;
+    if (t1 + t2 > 12) continue;
+    if (f2.run <= 15) {
+      fast[i].val2 = f2.value;
+      fast[i].run2enc = static_cast<uint8_t>(f2.run | 16);
+      fast[i].bits2 = static_cast<uint8_t>(t1 + t2);
+    } else if (f2.run == 17) {  // coefficient then EOB
+      fast[i].run2enc = 32;
+      fast[i].bits2 = static_cast<uint8_t>(t1 + t2);
+    }
+  }
 }
+
+// 12-bit fused DC lookup: for DC codes where code length + magnitude size
+// fits in 12 bits, one read yields the fully EXTENDed differential and the
+// total bits to consume.  bits == 0 marks the slow path (long code, large
+// magnitude, or the invalid size > 11 — the slow path reports that error
+// with identical precedence).
+struct FastDc {
+  int16_t value;  // sign-extended DC differential
+  uint8_t bits;   // total bits (code + magnitude); 0 = slow path
+};
+
+inline void build_fast_dc(const uint8_t* counts, const uint8_t* symbols,
+                          FastDc* fast) {
+  for (int i = 0; i < 4096; ++i) fast[i].bits = 0;
+  int32_t code = 0;
+  int k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    const int n = counts[l - 1];
+    if (l <= 12) {
+      for (int j = 0; j < n; ++j) {
+        const int size = symbols[k + j];
+        if (size > 11 || l + size > 12) continue;  // slow path
+        const int32_t base = (code + j) << (12 - l);
+        if (size == 0) {
+          for (int p = 0; p < (1 << (12 - l)); ++p) {
+            fast[base + p].value = 0;
+            fast[base + p].bits = static_cast<uint8_t>(l);
+          }
+        } else {
+          const int tail = 12 - l - size;
+          for (int v = 0; v < (1 << size); ++v) {
+            const int16_t val = static_cast<int16_t>(extend_signed(v, size));
+            const int32_t b2 = base + (v << tail);
+            for (int p = 0; p < (1 << tail); ++p) {
+              fast[b2 + p].value = val;
+              fast[b2 + p].bits = static_cast<uint8_t>(l + size);
+            }
+          }
+        }
+      }
+    }
+    code = (code + n) << 1;
+    k += n;
+  }
+}
+
+// Top-aligned branchless bit cursor for the guarded fast path.  Valid only
+// while the caller guarantees >= 8 readable bytes at every refill() — the
+// per-MCU slack check in the segment loop (kBlockSlack bytes per block)
+// makes both buffer overrun AND out-of-data exhaustion impossible, so the
+// hot loop carries no end-of-stream branches at all (the careful BitReader
+// path finishes the stream tail with identical semantics).
+//
+// refill() is Fabian Giesen's "variant 4": one unaligned 64-bit load per
+// call, no branches, leaves 56..63 valid bits.
+struct FastState {
+  const uint8_t* data;
+  uint64_t buf;   // stream bits at the TOP of the word; zeros below
+  int32_t bits;   // valid bit count, top-aligned
+  int64_t pos;    // next byte to load
+
+  void init(const uint8_t* d, int64_t bitpos) {
+    data = d;
+    pos = bitpos >> 3;
+    buf = 0;
+    bits = 0;
+    refill();
+    consume(static_cast<int32_t>(bitpos & 7));
+  }
+
+  inline void refill() {
+    uint64_t w;
+    __builtin_memcpy(&w, data + pos, 8);
+    buf |= __builtin_bswap64(w) >> bits;
+    pos += (63 - bits) >> 3;
+    bits |= 56;
+  }
+
+  inline uint32_t peek(int32_t n) const {
+    return static_cast<uint32_t>(buf >> (64 - n));
+  }
+  inline uint32_t peek12() const { return static_cast<uint32_t>(buf >> 52); }
+
+  inline void consume(int32_t n) {
+    buf <<= n;
+    bits -= n;
+  }
+
+  inline uint32_t take(int32_t n) {
+    if (n == 0) return 0;
+    uint32_t v = peek(n);
+    consume(n);
+    return v;
+  }
+
+  // Absolute bit offset of the next unconsumed bit.
+  inline int64_t bit_position() const { return pos * 8 - bits; }
+};
+
+// Worst-case bytes one block can consume: DC (16+11 bits) + 63 AC
+// coefficients at (16+10) bits = 1665 bits = 209 bytes, plus 8 bytes of
+// refill lookahead.  224 gives margin; the guard is per MCU (g blocks).
+constexpr int64_t kBlockSlack = 224;
 
 inline int32_t decode_symbol(BitReader& br, const HuffTable& tab,
                              int32_t* out_sym) {
@@ -307,6 +450,143 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
     out[kZigzag[k]] =
         static_cast<int16_t>(extend_signed(br.take_nofill(size), size));
     if (br.exhausted()) return ERR_OUT_OF_DATA;
+    ++k;
+  }
+  return OK;
+}
+
+// Symbol decode on the fast cursor: same table structure and precedence as
+// decode_symbol, minus the (impossible-here) exhaustion checks.  Callers
+// guarantee >= 16 valid bits (refill leaves >= 56; at most one failed
+// 12-bit probe precedes this call and probes consume nothing).
+inline int32_t decode_symbol_fs(FastState& fs, const HuffTable& tab,
+                                int32_t* out_sym) {
+  uint32_t p16 = fs.peek(16);
+  uint16_t e = tab.lut[p16 >> 8];
+  if (e) {
+    fs.consume(e & 0xFF);
+    *out_sym = e >> 8;
+    return OK;
+  }
+  for (int l = 9; l <= 16; ++l) {
+    int32_t c = static_cast<int32_t>(p16 >> (16 - l));
+    if (tab.maxcode[l] >= 0 && c <= tab.maxcode[l]) {
+      fs.consume(l);
+      *out_sym = tab.symbols[c + tab.valoffset[l]];
+      return OK;
+    }
+  }
+  return ERR_BAD_CODE;
+}
+
+// One fast-AC probe-step: resolves one LUT window — up to TWO coefficients
+// via the pair extension, or a coefficient + EOB, or ZRL/EOB — consuming
+// <= 12 bits.  Returns kStepMore (continue probing), kStepDone (block
+// complete), kStepSlow (window needs the slow path; nothing consumed), or
+// a negative error code.  Error codes and the failing position match the
+// careful path exactly; bits consumed past an error are unobservable
+// because decode aborts.
+constexpr int32_t kStepMore = 1;
+constexpr int32_t kStepDone = 2;
+constexpr int32_t kStepSlow = 3;
+
+inline int32_t fast_ac_step(FastState& fs, const FastAc* fac, int16_t* out,
+                            int32_t* k_io) {
+  const FastAc fa = fac[fs.peek12()];
+  int32_t k = *k_io;
+  if (static_cast<uint32_t>(fa.run) > 15u) {
+    // Cold classes behind ONE usually-not-taken branch: slow (-1 wraps
+    // large unsigned), ZRL (16), EOB (17).
+    if (fa.run < 0) return kStepSlow;
+    fs.consume(fa.packed & 0x0F);
+    if (fa.run == 17) return kStepDone;  // EOB
+    *k_io = k + 16;                      // ZRL
+    return k + 16 >= 64 ? kStepDone : kStepMore;
+  }
+  const int32_t k1 = k + fa.run;
+  if (k1 >= 63) {
+    // Block-terminal (or out-of-range) — cold.  At k1 == 63 sequential
+    // decode ends the block after symbol 1, so a recorded pair must
+    // single-ify: its second symbol belongs to the NEXT block.
+    if (k1 > 63) return ERR_AC_RANGE;
+    fs.consume(fa.packed & 0x0F);
+    out[kZigzag[63]] = fa.value;
+    *k_io = 64;
+    return kStepDone;
+  }
+  // Branchless single/pair: single entries are pairs with run2enc == 0,
+  // val2 == 0 and bits2 == t1 — their "second store" writes a benign 0 at
+  // k1+1 <= 63 (a position that is zero in sequential decode: a following
+  // symbol either overwrites it with run 0 or zero-runs past it), and
+  // their k advance is k1 + 1.  This removes the unpredictable
+  // pair-vs-single branch from the hottest path.
+  fs.consume(fa.bits2);
+  out[kZigzag[k1]] = fa.value;
+  const int32_t r2 = fa.run2enc;  // run2 | (pair << 4) | (pair_eob << 5)
+  const int32_t k2 = k1 + 1 + (r2 & 15);
+  if (k2 > 63) return ERR_AC_RANGE;  // reachable only for real pairs
+  out[kZigzag[k2]] = fa.val2;
+  k = k2 + ((r2 >> 4) & 1);
+  *k_io = k;
+  if (r2 & 32) return kStepDone;  // coefficient-then-EOB pair
+  return k >= 64 ? kStepDone : kStepMore;
+}
+
+// Guarded-region block decode: bit-identical coefficients and error codes
+// to decode_block (differential tests + fuzz assert this), restructured for
+// the serial dependency chain — one branchless refill per coefficient, one
+// fused LUT probe (symbol + magnitude + EXTEND), one subtract of the bit
+// count.  After each refill >= 56 bits are valid: a fast hit costs <= 12,
+// so a second probe piggybacks on the same refill before the loop returns
+// to the top (two coefficients per refill in the common run).
+inline int32_t decode_block_fast(FastState& fs, int16_t* out,
+                                 const HuffTable& dc, const FastDc* fdc,
+                                 const HuffTable& ac, const FastAc* fac,
+                                 int32_t* dc_pred) {
+  fs.refill();
+  const FastDc d = fdc[fs.peek12()];
+  if (d.bits) {
+    fs.consume(d.bits);
+    *dc_pred += d.value;
+  } else {
+    int32_t t;
+    int32_t rc = decode_symbol_fs(fs, dc, &t);
+    if (rc != OK) return rc;
+    if (t > 11) return ERR_BAD_DC_SIZE;
+    // <= 16 bits consumed since refill, so >= 40 remain: no refill needed.
+    *dc_pred += extend_signed(fs.take(t), t);
+  }
+  out[0] = static_cast<int16_t>(*dc_pred);
+
+  int32_t k = 1;
+  while (k < 64) {
+    fs.refill();
+    // Three probe-steps per refill: each consumes <= 12 bits (pair
+    // included), so 36 worst-case, and a slow path entered after the
+    // first two steps needs <= 26 more (24 + 26 = 50 <= 56); a slow
+    // return from step 3 consumed nothing (24 + 26 still fits).
+    int32_t st = fast_ac_step(fs, fac, out, &k);
+    if (st == kStepMore) st = fast_ac_step(fs, fac, out, &k);
+    if (st == kStepMore) st = fast_ac_step(fs, fac, out, &k);
+    if (st == kStepMore) continue;
+    if (st == kStepDone) return OK;
+    if (st < 0) return st;
+    // Slow path: long code or wide magnitude (probes consumed nothing).
+    int32_t sym;
+    int32_t rc = decode_symbol_fs(fs, ac, &sym);
+    if (rc != OK) return rc;
+    if (sym == 0x00) return OK;  // EOB
+    int32_t run = sym >> 4;
+    int32_t size = sym & 0x0F;
+    if (size == 0) {
+      if (sym != 0xF0) return ERR_BAD_AC_SYMBOL;
+      k += 16;  // ZRL
+      continue;
+    }
+    k += run;
+    if (k > 63) return ERR_AC_RANGE;
+    // >= 56 - 12 - 16 = 28 bits remain; magnitude <= 10 fits.
+    out[kZigzag[k]] = static_cast<int16_t>(extend_signed(fs.take(size), size));
     ++k;
   }
   return OK;
@@ -602,6 +882,7 @@ int32_t pjt_decode_segments(
   HuffTable dc_tabs[4];
   HuffTable ac_tabs[4];
   static thread_local FastAc fast_tabs[4][4096];
+  static thread_local FastDc fast_dc_tabs[4][4096];
   for (int t = 0; t < 4; ++t) {
     if (!build_table(dc_counts + t * 16, dc_symbols + t * 162, &dc_tabs[t]) ||
         !build_table(ac_counts + t * 16, ac_symbols + t * 162, &ac_tabs[t])) {
@@ -611,11 +892,13 @@ int32_t pjt_decode_segments(
     // and a skipped build would leave the thread_local table stale from a
     // previous image on this pool thread.
     build_fast_ac(ac_counts + t * 16, ac_symbols + t * 162, fast_tabs[t]);
+    build_fast_dc(dc_counts + t * 16, dc_symbols + t * 162, fast_dc_tabs[t]);
   }
 
   const HuffTable* slot_dc[10];
   const HuffTable* slot_ac[10];
   const FastAc* slot_fast[10];
+  const FastDc* slot_fdc[10];
   int32_t slot_ci[10];
   for (int s = 0; s < g; ++s) {
     int32_t ci = slot_comp[s];
@@ -624,27 +907,62 @@ int32_t pjt_decode_segments(
     slot_dc[s] = &dc_tabs[comp_dc_id[ci]];
     slot_ac[s] = &ac_tabs[comp_ac_id[ci]];
     slot_fast[s] = fast_tabs[comp_ac_id[ci]];
+    slot_fdc[s] = fast_dc_tabs[comp_dc_id[ci]];
   }
 
   const int64_t mcus_per_seg =
       restart_interval ? restart_interval : num_mcus;
+  const int64_t mcu_slack = kBlockSlack * g;
   BitReader br{data, data_len, 0, 0, 0, 0};
 
   for (int32_t seg = seg_begin; seg < seg_end; ++seg) {
     const int64_t m_begin = seg * mcus_per_seg;
     const int64_t m_end =
         m_begin + mcus_per_seg < num_mcus ? m_begin + mcus_per_seg : num_mcus;
-    br.seek(seg_offsets[seg]);
     int32_t dc_pred[3] = {0, 0, 0};
-    for (int64_t m = m_begin; m < m_end; ++m) {
-      int16_t* mcu_out = out + m * g * 64;
-      for (int s = 0; s < g; ++s) {
-        int32_t rc = decode_block(br, mcu_out + s * 64, *slot_dc[s],
-                                  *slot_ac[s], slot_fast[s],
-                                  &dc_pred[slot_ci[s]]);
-        if (rc != OK) {
-          *err_mcu = static_cast<int32_t>(m);
-          return rc;
+    int64_t bitpos = seg_offsets[seg] * 8;
+    int64_t m = m_begin;
+
+    // Fast phase: while a whole worst-case MCU plus refill lookahead fits
+    // in the remaining bytes, exhaustion/overrun are impossible and the
+    // branch-light cursor applies (results bit-identical to the careful
+    // path below — the only differences are bookkeeping).
+    if (m < m_end && (bitpos >> 3) + 8 + mcu_slack <= data_len) {
+      FastState fs;
+      fs.init(data, bitpos);
+      while (m < m_end && fs.pos + mcu_slack <= data_len) {
+        int16_t* mcu_out = out + m * g * 64;
+        for (int s = 0; s < g; ++s) {
+          int32_t rc = decode_block_fast(fs, mcu_out + s * 64, *slot_dc[s],
+                                         slot_fdc[s], *slot_ac[s],
+                                         slot_fast[s], &dc_pred[slot_ci[s]]);
+          if (rc != OK) {
+            *err_mcu = static_cast<int32_t>(m);
+            return rc;
+          }
+        }
+        ++m;
+      }
+      bitpos = fs.bit_position();
+    }
+
+    // Careful phase: stream tail (also handles entire short segments).
+    if (m < m_end) {
+      br.seek(bitpos >> 3);
+      if (bitpos & 7) {
+        br.fill();
+        br.drop(static_cast<int32_t>(bitpos & 7));
+      }
+      for (; m < m_end; ++m) {
+        int16_t* mcu_out = out + m * g * 64;
+        for (int s = 0; s < g; ++s) {
+          int32_t rc = decode_block(br, mcu_out + s * 64, *slot_dc[s],
+                                    *slot_ac[s], slot_fast[s],
+                                    &dc_pred[slot_ci[s]]);
+          if (rc != OK) {
+            *err_mcu = static_cast<int32_t>(m);
+            return rc;
+          }
         }
       }
     }

@@ -1,0 +1,70 @@
+"""Standalone host-entropy-decode microbench (no TPU needed).
+
+Builds the same q75 corpus as bench.py, then times decode_scan_native
+(single thread) over several repetitions.  Used to iterate on
+native/entropy.cpp; the number printed here is the same quantity bench.py
+reports as host_entropy_mps.
+
+Usage: python tools/entropy_bench.py [reps] [--prog]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+REPO = __file__.rsplit("/tools/", 1)[0]
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 5
+    import bench
+
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+    from pim_jpeg_decoder_tpu.native import decode_scan_native
+
+    blobs = bench.make_corpus()
+    headers = [scan_jpeg(d) for _, d in blobs]
+    mp = sum(h.width * h.height for h in headers) / 1e6
+
+    decode_scan_native(headers[0])  # build/load the .so outside the timer
+    rates = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        for h in headers:
+            decode_scan_native(h)
+        rates.append(mp / (time.monotonic() - t0))
+    rates.sort()
+    print(f"host_entropy_mps: median={rates[len(rates) // 2]:.1f} "
+          f"min={rates[0]:.1f} max={rates[-1]:.1f} over {reps} reps, "
+          f"{len(blobs)} images, {mp:.1f} MP/pass")
+
+    if "--prog" in sys.argv:
+        from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+        import io
+
+        from PIL import Image
+
+        pheaders = []
+        for _, d in blobs[:12]:
+            img = Image.open(io.BytesIO(d)).convert("RGB")
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", progressive=True, quality=75,
+                     subsampling=2)
+            pheaders.append(scan_jpeg(buf.getvalue()))
+        pmp = sum(h.width * h.height for h in pheaders) / 1e6
+        decode_progressive(pheaders[0])
+        prates = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            for h in pheaders:
+                decode_progressive(h)
+            prates.append(pmp / (time.monotonic() - t0))
+        prates.sort()
+        print(f"host_progressive_mps: median={prates[len(prates) // 2]:.1f} "
+              f"min={prates[0]:.1f} max={prates[-1]:.1f}")
+
+
+if __name__ == "__main__":
+    main()
