@@ -234,6 +234,18 @@ def decode_progressive(header: JpegHeader, use_native: bool = True) -> np.ndarra
     if not header.progressive:
         raise JpegError("decode_progressive requires a progressive frame")
 
+    if use_native:
+        from pim_jpeg_decoder_tpu.native import native_available
+        if native_available():
+            # Production path: ONE native call decodes every scan and
+            # assembles the transport (binding.decode_progressive_image_cpp);
+            # the per-scan loop below is the semantic reference, kept for
+            # fallback and differential tests.
+            from pim_jpeg_decoder_tpu.native.binding import (
+                decode_progressive_image_cpp,
+            )
+            return decode_progressive_image_cpp(header)
+
     # Zigzag-order coefficient planes, padded to the MCU grid, in ONE flat
     # buffer (the C++ path indexes it via per-component offsets; the Python
     # path uses reshaped views of the same memory).
@@ -253,19 +265,8 @@ def decode_progressive(header: JpegHeader, use_native: bool = True) -> np.ndarra
         for ci, (bhp, bwp) in enumerate(sizes)
     ]
 
-    native = False
-    if use_native:
-        from pim_jpeg_decoder_tpu.native import native_available
-        native = native_available()
-
     for scan in header.scans:
-        if native:
-            from pim_jpeg_decoder_tpu.native.binding import (
-                decode_progressive_scan_cpp,
-            )
-            decode_progressive_scan_cpp(header, scan, buf, comp_offset)
-        else:
-            _decode_one_scan(header, scan, planes)
+        _decode_one_scan(header, scan, planes)
 
     # Assemble the MCU-group transport layout (de-zigzag here).
     slots = header.slot_components()

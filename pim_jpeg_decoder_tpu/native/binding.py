@@ -72,9 +72,11 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_decode_scan.restype = ctypes.c_int32
             lib.pjt_decode_segments.restype = ctypes.c_int32
             lib.pjt_decode_progressive_scan.restype = ctypes.c_int32
+            lib.pjt_decode_progressive_image.restype = ctypes.c_int32
+            lib.pjt_progressive_assemble.restype = ctypes.c_int32
             lib.pjt_ycbcr_to_rgb.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 5:
+            if lib.pjt_abi_version() != 6:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -298,6 +300,143 @@ def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
     if rc != 0:
         msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
         raise JpegError(f"{msg} (unit {err_unit.value})")
+
+
+def decode_progressive_image_cpp(header) -> np.ndarray:
+    """Decode ALL scans of a progressive image in ONE native call and
+    assemble the ``[num_mcus, g, 64]`` int16 natural-order transport.
+
+    Equivalent to looping :func:`decode_progressive_scan_cpp` over
+    ``header.scans`` plus the NumPy de-zigzag assembly (differentially
+    tested against that path), but with per-image instead of per-scan
+    staging/dispatch — the Python overhead that dominated the progressive
+    wall clock.
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native entropy decoder unavailable")
+
+    nscans = len(header.scans)
+    if nscans == 0:
+        raise JpegError("Progressive stream has no scans")
+
+    # Plane buffer: concatenated zigzag-order per-component planes.
+    comp_offset = np.zeros(3, np.int64)
+    total = 0
+    sizes = []
+    for ci in range(header.ncomp):
+        bwp, bhp = header.comp_blocks_padded(ci)
+        sizes.append((bhp, bwp))
+        comp_offset[ci] = total * 64
+        total += bhp * bwp
+    planes = np.zeros(total * 64, np.int32)
+
+    comp_v = np.zeros(3, np.int32)
+    comp_h = np.zeros(3, np.int32)
+    comp_bwp = np.zeros(3, np.int32)
+    for ci, c in enumerate(header.components):
+        comp_v[ci] = c.v
+        comp_h[ci] = c.h
+        comp_bwp[ci] = sizes[ci][1]
+
+    # Flat per-scan staging.
+    data = b"".join(s.entropy_bytes for s in header.scans)
+    scan_data = np.zeros((nscans, 2), np.int64)
+    seg_idx = np.zeros(nscans + 1, np.int64)
+    scan_i32 = np.zeros((nscans, 10), np.int32)
+    slots_all = np.zeros((nscans, 10, 4), np.int32)
+    dc_counts = np.zeros((nscans * 3, 16), np.uint8)
+    dc_symbols = np.zeros((nscans * 3, 162), np.uint8)
+    ac_counts = np.zeros((nscans * 3, 16), np.uint8)
+    ac_symbols = np.zeros((nscans * 3, 162), np.uint8)
+    seg_parts = []
+    off = 0
+    for sc, scan in enumerate(header.scans):
+        spec = scan.spec
+        scan_data[sc] = (off, len(scan.entropy_bytes))
+        off += len(scan.entropy_bytes)
+        seg_parts.append(np.asarray(scan.segment_offsets, np.int64))
+        seg_idx[sc + 1] = seg_idx[sc] + len(scan.segment_offsets)
+
+        interleaved = scan.interleaved or (
+            spec.start_of_selection == 0
+            and len(scan.component_indices) == header.ncomp)
+        if interleaved:
+            ns = 0
+            for i, ci in enumerate(scan.component_indices):
+                c = header.components[ci]
+                for qv in range(c.v):
+                    for qh in range(c.h):
+                        slots_all[sc, ns] = (i, ci, qv, qh)
+                        ns += 1
+            bw = bh = 0
+        else:
+            ci = scan.component_indices[0]
+            slots_all[sc, 0] = (0, ci, 0, 0)
+            ns = 1
+            bw, bh = header.comp_blocks(ci)
+        scan_i32[sc] = (spec.start_of_selection, spec.end_of_selection,
+                        spec.successive_high, spec.successive_low,
+                        1 if interleaved else 0, scan.restart_interval,
+                        ns, len(scan.component_indices), bw, bh)
+        for i in range(len(scan.component_indices)):
+            if scan.dc_specs[i] is not None:
+                dc_counts[sc * 3 + i] = scan.dc_specs[i].counts
+                dc_symbols[sc * 3 + i, : scan.dc_specs[i].symbols.size] = \
+                    scan.dc_specs[i].symbols
+            if scan.ac_specs[i] is not None:
+                ac_counts[sc * 3 + i] = scan.ac_specs[i].counts
+                ac_symbols[sc * 3 + i, : scan.ac_specs[i].symbols.size] = \
+                    scan.ac_specs[i].symbols
+    seg_offsets_all = (np.concatenate(seg_parts) if seg_parts
+                       else np.zeros(0, np.int64))
+    data_arr = np.frombuffer(data, np.uint8)
+
+    def ptr(arr, ctype):
+        return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+    err_scan = ctypes.c_int32(-1)
+    err_unit = ctypes.c_int32(-1)
+    rc = lib.pjt_decode_progressive_image(
+        ptr(data_arr, ctypes.c_uint8), ctypes.c_int64(data_arr.size),
+        ctypes.c_int32(nscans),
+        ptr(scan_data, ctypes.c_int64),
+        ptr(seg_offsets_all, ctypes.c_int64),
+        ptr(seg_idx, ctypes.c_int64),
+        ptr(scan_i32, ctypes.c_int32), ptr(slots_all, ctypes.c_int32),
+        ptr(comp_v, ctypes.c_int32), ptr(comp_h, ctypes.c_int32),
+        ctypes.c_int32(header.mcu_rows), ctypes.c_int32(header.mcu_cols),
+        ptr(dc_counts, ctypes.c_uint8), ptr(dc_symbols, ctypes.c_uint8),
+        ptr(ac_counts, ctypes.c_uint8), ptr(ac_symbols, ctypes.c_uint8),
+        ptr(planes, ctypes.c_int32), ptr(comp_offset, ctypes.c_int64),
+        ptr(comp_bwp, ctypes.c_int32),
+        ctypes.byref(err_scan), ctypes.byref(err_unit),
+    )
+    if rc != 0:
+        msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
+        raise JpegError(
+            f"{msg} (scan {err_scan.value}, unit {err_unit.value})")
+
+    # Transport assembly (de-zigzag + saturation + slot gather) in C++.
+    slots = header.slot_components()
+    g = len(slots)
+    slot_ci = np.array([ci for ci, _, _ in slots], np.int32)
+    slot_qv = np.array([qv for _, qv, _ in slots], np.int32)
+    slot_qh = np.array([qh for _, _, qh in slots], np.int32)
+    out = np.empty((header.num_mcus, g, 64), np.int16)
+    rc = lib.pjt_progressive_assemble(
+        ptr(planes, ctypes.c_int32), ptr(comp_offset, ctypes.c_int64),
+        ptr(comp_bwp, ctypes.c_int32),
+        ctypes.c_int32(header.num_mcus), ctypes.c_int32(header.mcu_cols),
+        ctypes.c_int32(g),
+        ptr(slot_ci, ctypes.c_int32), ptr(slot_qv, ctypes.c_int32),
+        ptr(slot_qh, ctypes.c_int32),
+        ptr(comp_v, ctypes.c_int32), ptr(comp_h, ctypes.c_int32),
+        ptr(out, ctypes.c_int16),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pjt_progressive_assemble failed: {rc}")
+    return out
 
 
 def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,

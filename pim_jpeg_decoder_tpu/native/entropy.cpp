@@ -21,6 +21,9 @@
 #include <cassert>
 #include <cstdint>
 #include <cstring>
+#if defined(__BMI2__) || defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -371,9 +374,10 @@ struct FastState {
 };
 
 // Worst-case bytes one block can consume: DC (16+11 bits) + 63 AC
-// coefficients at (16+10) bits = 1665 bits = 209 bytes, plus 8 bytes of
-// refill lookahead.  224 gives margin; the guard is per MCU (g blocks).
-constexpr int64_t kBlockSlack = 224;
+// coefficients at (16+10) bits = 1665 bits = 209 bytes, plus the cursor's
+// byte-granularity lead (<= 8) and the 8-byte refill lookahead.  232
+// covers all of it even for single-slot (grayscale) MCUs.
+constexpr int64_t kBlockSlack = 232;
 
 inline int32_t decode_symbol(BitReader& br, const HuffTable& tab,
                              int32_t* out_sym) {
@@ -734,9 +738,230 @@ inline int32_t ac_refine(ProgState& st, int32_t* block, const HuffTable& ac,
   return OK;
 }
 
-}  // namespace
+// --- Progressive fast-path variants ----------------------------------------
+// FastState versions of the four phase procedures, used while the per-run
+// byte-slack guard holds (no exhaustion/overrun possible).  Bit-identical
+// to the ProgState versions above; the careful versions finish each
+// restart run's tail so end-of-stream accounting matches the oracle.
 
-extern "C" {
+inline int32_t dc_first_fs(FastState& fs, int32_t* block, int ci,
+                           const HuffTable& dc, const FastDc* fdc, int al,
+                           int32_t* preds) {
+  fs.refill();
+  const FastDc d = fdc[fs.peek12()];
+  int32_t diff;
+  if (d.bits) {
+    fs.consume(d.bits);
+    diff = d.value;
+  } else {
+    int32_t t;
+    int32_t rc = decode_symbol_fs(fs, dc, &t);
+    if (rc != OK) return rc;
+    if (t > 11) return ERR_BAD_DC_SIZE;
+    diff = extend_signed(fs.take(t), t);
+  }
+  preds[ci] += diff;
+  block[0] = preds[ci] << al;
+  return OK;
+}
+
+inline int32_t dc_refine_fs(FastState& fs, int32_t* block, int al) {
+  fs.refill();
+  if (fs.take(1)) block[0] |= 1 << al;
+  return OK;
+}
+
+// AC-first: pairs stay behind explicit branches here (no benign-zero
+// trick): a malformed stream can re-send a band, leaving nonzero history
+// at positions a run skips, which a blind zero store would clobber.
+inline int32_t ac_first_fs(FastState& fs, int32_t* block, const HuffTable& ac,
+                           const FastAc* fac, int ss, int se, int al,
+                           int64_t* eobrun) {
+  if (*eobrun > 0) {
+    --*eobrun;
+    return OK;
+  }
+  int32_t k = ss;
+  while (k <= se) {
+    fs.refill();
+    const FastAc fa = fac[fs.peek12()];
+    if (fa.run < 0) {
+      // Slow: long code, wide magnitude, or EOBn (run-length bits).
+      int32_t sym;
+      int32_t rc = decode_symbol_fs(fs, ac, &sym);
+      if (rc != OK) return rc;
+      int r = sym >> 4;
+      int s = sym & 0x0F;
+      if (s == 0) {
+        if (r != 15) {
+          *eobrun = (1 << r) - 1;
+          if (r) *eobrun += fs.take(r);
+          return OK;
+        }
+        k += 16;  // ZRL
+        continue;
+      }
+      k += r;
+      if (k > se) return ERR_AC_RANGE;
+      block[k] = extend_signed(fs.take(s), s) << al;
+      ++k;
+      continue;
+    }
+    if (fa.run >= 16) {
+      fs.consume(fa.packed & 0x0F);
+      if (fa.run == 17) return OK;  // EOB0 (eobrun stays 0)
+      k += 16;                      // ZRL
+      continue;
+    }
+    const int32_t k1 = k + fa.run;
+    if (k1 > se) return ERR_AC_RANGE;
+    if ((fa.run2enc & 16) && k1 < se) {  // coefficient pair, non-terminal
+      fs.consume(fa.bits2);
+      block[k1] = static_cast<int32_t>(fa.value) << al;
+      const int32_t k2 = k1 + 1 + (fa.run2enc & 15);
+      if (k2 > se) return ERR_AC_RANGE;
+      block[k2] = static_cast<int32_t>(fa.val2) << al;
+      k = k2 + 1;
+    } else if ((fa.run2enc & 32) && k1 < se) {  // coefficient then EOB0
+      fs.consume(fa.bits2);
+      block[k1] = static_cast<int32_t>(fa.value) << al;
+      return OK;
+    } else {
+      fs.consume(fa.packed & 0x0F);
+      block[k1] = static_cast<int32_t>(fa.value) << al;
+      k = k1 + 1;
+    }
+  }
+  return OK;
+}
+
+inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
+                            const FastAc* fac, int ss, int se, int al,
+                            int64_t* eobrun) {
+  const int32_t p1 = 1 << al;
+  const int32_t m1 = -1 << al;
+  int32_t k = ss;
+
+  // Nonzero-history bitmap (bit j = block[j] != 0), built once per block:
+  // refinement only reads correction bits AT nonzero positions and counts
+  // runs over zero positions, so with the mask the zero-position walk
+  // (the measured hot loop of refinement scans) collapses into bit ops.
+  // The compare loop auto-vectorizes; corrections keep positions nonzero,
+  // and the only mask mutation is the newval insert.
+  uint64_t nz = 0;
+#if defined(__AVX2__)
+  const __m256i zero = _mm256_setzero_si256();
+  for (int j = 0; j < 64; j += 8) {
+    const __m256i a =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(block + j));
+    const uint32_t eq = static_cast<uint32_t>(
+        _mm256_movemask_ps(_mm256_castsi256_ps(
+            _mm256_cmpeq_epi32(a, zero))));
+    nz |= static_cast<uint64_t>(~eq & 0xFFu) << j;
+  }
+#else
+  for (int j = 0; j < 64; ++j) {
+    nz |= static_cast<uint64_t>(block[j] != 0) << j;
+  }
+#endif
+
+  // One correction bit for an already-nonzero coefficient.
+  auto correct = [&](int idx) {
+    fs.refill();
+    if (fs.take(1) && (block[idx] & p1) == 0) {
+      block[idx] += block[idx] >= 0 ? p1 : m1;
+    }
+  };
+  auto range_mask = [&](int lo) -> uint64_t {
+    return (~0ull >> (63 - se)) & ~((1ull << lo) - 1ull);
+  };
+
+  if (*eobrun == 0) {
+    while (k <= se) {
+      fs.refill();
+      int32_t r;
+      int32_t newval = 0;
+      const FastAc fa = fac[fs.peek12()];
+      if (fa.run >= 0) {
+        const int32_t cl = fa.packed >> 4;
+        const int32_t tot = fa.packed & 0x0F;
+        if (fa.run == 17) {  // EOB0: run includes this block
+          fs.consume(tot);
+          *eobrun = 1;
+          break;
+        }
+        if (fa.run == 16) {  // ZRL: skip 16 zero-history positions
+          fs.consume(tot);
+          r = 15;
+        } else {
+          fs.consume(tot);
+          if (tot - cl != 1) return ERR_BAD_AC_SYMBOL;
+          r = fa.run;
+          newval = fa.value > 0 ? p1 : m1;
+        }
+      } else {
+        int32_t sym;
+        int32_t rc = decode_symbol_fs(fs, ac, &sym);
+        if (rc != OK) return rc;
+        r = sym >> 4;
+        int s = sym & 0x0F;
+        if (s == 0) {
+          if (r != 15) {
+            *eobrun = 1 << r;
+            if (r) *eobrun += fs.take(r);
+            break;
+          }
+          newval = 0;  // ZRL
+        } else {
+          if (s != 1) return ERR_BAD_AC_SYMBOL;
+          newval = fs.take(1) ? p1 : m1;
+        }
+      }
+      // Advance to the (r+1)-th zero-history position >= k (or past se),
+      // reading correction bits — in ascending order — at every nonzero
+      // position passed.  Equivalent to the sequential walk in ac_refine.
+      {
+        const uint64_t range = range_mask(k);
+        const uint64_t zmask = ~nz & range;
+#if defined(__BMI2__)
+        const uint64_t nth = _pdep_u64(1ull << r, zmask);
+#else
+        uint64_t tmp = zmask;
+        for (int drop = 0; drop < r && tmp; ++drop) tmp &= tmp - 1;
+        const uint64_t nth = tmp & (~tmp + 1);  // lowest remaining set bit
+#endif
+        const int target = nth ? __builtin_ctzll(nth) : se + 1;
+        uint64_t corr = nz & range & (nth ? nth - 1 : ~0ull);
+        while (corr) {
+          const int i = __builtin_ctzll(corr);
+          corr &= corr - 1;
+          correct(i);
+        }
+        k = target;
+      }
+      if (newval && k <= se) {
+        block[k] = newval;
+        nz |= 1ull << k;
+      }
+      ++k;
+    }
+  }
+
+  if (*eobrun > 0) {
+    if (k <= se) {
+      uint64_t corr = nz & range_mask(k);
+      while (corr) {
+        const int i = __builtin_ctzll(corr);
+        corr &= corr - 1;
+        correct(i);
+      }
+    }
+    --*eobrun;
+  }
+  return OK;
+}
+
+}  // namespace
 
 // Decode ONE progressive scan into zigzag-order int32 coefficient planes.
 //
@@ -752,7 +977,7 @@ extern "C" {
 //   Tables: per scan-component snapshot DHT definitions.
 //
 // Returns OK or a negative ErrorCode; *err_unit is the failing MCU/block.
-int32_t pjt_decode_progressive_scan(
+static int32_t decode_progressive_scan_impl(
     const uint8_t* data, int64_t data_len,
     const int64_t* seg_offsets, int32_t num_segs, int32_t restart_interval,
     int32_t ss, int32_t se, int32_t ah, int32_t al,
@@ -772,70 +997,307 @@ int32_t pjt_decode_progressive_scan(
   HuffTable dc_tabs[3];
   HuffTable ac_tabs[3];
   static thread_local FastAc fast_tabs[3][4096];
+  static thread_local FastDc fast_dc_tabs[3][4096];
   for (int i = 0; i < nc; ++i) {
     if (!build_table(dc_counts + i * 16, dc_symbols + i * 162, &dc_tabs[i]) ||
         !build_table(ac_counts + i * 16, ac_symbols + i * 162, &ac_tabs[i])) {
       return ERR_BAD_ARGS;
     }
-    if (ss > 0 && ah == 0) {
-      // Only AC-first scans consult the fast table (build even for empty
-      // tables: a skipped build would leave stale thread_local entries).
+    if (ss > 0) {
+      // AC scans (first AND refinement) consult the fast table (build even
+      // for empty tables: a skipped build would leave stale entries).
       build_fast_ac(ac_counts + i * 16, ac_symbols + i * 162, fast_tabs[i]);
+    }
+    if (ss == 0 && ah == 0) {
+      build_fast_dc(dc_counts + i * 16, dc_symbols + i * 162,
+                    fast_dc_tabs[i]);
     }
   }
 
-  ProgState st{{data, data_len, 0, 0, 0, 0}, 0, {0, 0, 0}};
-  st.br.seek(num_segs > 0 ? seg_offsets[0] : 0);
-  int32_t seg = 0;
+  // Per-restart-run two-phase walk: the guarded FastState path decodes
+  // units while worst-case slack remains, then the careful ProgState path
+  // finishes the run's tail (with eobrun/preds handed off mid-run; restart
+  // boundaries reset all decoder state anyway).
+  const int64_t total_units =
+      interleaved ? static_cast<int64_t>(mcu_rows) * mcu_cols
+                  : static_cast<int64_t>(bw) * bh;
+  // Worst-case bytes one unit can consume (+8 refill lookahead covered by
+  // the init guard): DC first 4 B/block, DC refine 1 B/block, AC bands up
+  // to a full kBlockSlack.
+  int64_t unit_slack;
+  if (ss == 0) {
+    unit_slack = (ah == 0 ? 4 : 1) * (interleaved ? nslots : 1) + 16;
+  } else {
+    unit_slack = kBlockSlack;
+  }
 
-  auto restart = [&](int64_t unit) -> int32_t {
-    if (restart_interval && unit && unit % restart_interval == 0) {
-      ++seg;
-      if (seg >= num_segs) return ERR_MISSING_SEGMENT;
-      st.br.seek(seg_offsets[seg]);
-      st.eobrun = 0;
-      st.preds[0] = st.preds[1] = st.preds[2] = 0;
-    }
-    return OK;
+  int64_t u = 0;
+  int32_t seg = 0;
+  int64_t bitpos = (num_segs > 0 ? seg_offsets[0] : 0) * 8;
+  int64_t eobrun = 0;
+  int32_t preds[3] = {0, 0, 0};
+
+  auto unit_block = [&](int64_t unit) -> int32_t* {
+    if (interleaved) return nullptr;  // interleaved resolves per slot
+    const int64_t by = unit / bw;
+    const int64_t bx = unit % bw;
+    return planes + comp_offset[slot_ci[0]] +
+           (by * comp_bwp[slot_ci[0]] + bx) * 64;
   };
 
-  if (interleaved) {
-    const int64_t num_mcus = static_cast<int64_t>(mcu_rows) * mcu_cols;
-    for (int64_t m = 0; m < num_mcus; ++m) {
-      int32_t rc = restart(m);
-      if (rc != OK) { *err_unit = static_cast<int32_t>(m); return rc; }
-      const int64_t my = m / mcu_cols;
-      const int64_t mx = m % mcu_cols;
-      for (int s = 0; s < nslots; ++s) {
-        const int i = slot_scomp[s];
-        const int ci = slot_ci[s];
-        int32_t* block =
-            planes + comp_offset[ci] +
-            (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
-             (mx * comp_h[ci] + slot_qh[s])) * 64;
-        rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[i], al)
-                     : dc_refine(st, block, al);
-        if (rc != OK) { *err_unit = static_cast<int32_t>(m); return rc; }
+  while (u < total_units) {
+    if (restart_interval && u && u % restart_interval == 0) {
+      ++seg;
+      if (seg >= num_segs) {
+        *err_unit = static_cast<int32_t>(u);
+        return ERR_MISSING_SEGMENT;
+      }
+      bitpos = seg_offsets[seg] * 8;
+      eobrun = 0;
+      preds[0] = preds[1] = preds[2] = 0;
+    }
+    int64_t run_end = total_units;
+    if (restart_interval) {
+      const int64_t next = (u / restart_interval + 1) * restart_interval;
+      if (next < run_end) run_end = next;
+    }
+
+    // Fast phase (incremental row/col walkers: no per-unit div/mod).
+    if (u < run_end && (bitpos >> 3) + 8 + unit_slack <= data_len) {
+      FastState fs;
+      fs.init(data, bitpos);
+      if (interleaved) {
+        int64_t my = u / mcu_cols;
+        int64_t mx = u % mcu_cols;
+        int32_t* row_base[10];
+        int64_t col_step[10];
+        auto sync_rows = [&]() {
+          for (int s = 0; s < nslots; ++s) {
+            const int ci = slot_ci[s];
+            row_base[s] = planes + comp_offset[ci] +
+                          ((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci] +
+                           slot_qh[s]) * 64;
+            col_step[s] = static_cast<int64_t>(comp_h[ci]) * 64;
+          }
+        };
+        sync_rows();
+        while (u < run_end && fs.pos + unit_slack <= data_len) {
+          int32_t rc = OK;
+          for (int s = 0; s < nslots && rc == OK; ++s) {
+            int32_t* block = row_base[s] + mx * col_step[s];
+            rc = ah == 0 ? dc_first_fs(fs, block, slot_ci[s],
+                                       dc_tabs[slot_scomp[s]],
+                                       fast_dc_tabs[slot_scomp[s]], al,
+                                       preds)
+                         : dc_refine_fs(fs, block, al);
+          }
+          if (rc != OK) {
+            *err_unit = static_cast<int32_t>(u);
+            return rc;
+          }
+          ++u;
+          if (++mx == mcu_cols) {
+            mx = 0;
+            ++my;
+            sync_rows();
+          }
+        }
+      } else {
+        const int ci0 = slot_ci[0];
+        int64_t by = u / bw;
+        int64_t bx = u % bw;
+        const int64_t row_pad = (static_cast<int64_t>(comp_bwp[ci0]) - bw)
+                                * 64;
+        int32_t* block = planes + comp_offset[ci0] +
+                         (by * comp_bwp[ci0] + bx) * 64;
+        while (u < run_end && fs.pos + unit_slack <= data_len) {
+          int32_t rc;
+          if (ss == 0) {
+            rc = ah == 0 ? dc_first_fs(fs, block, ci0, dc_tabs[0],
+                                       fast_dc_tabs[0], al, preds)
+                         : dc_refine_fs(fs, block, al);
+          } else {
+            rc = ah == 0 ? ac_first_fs(fs, block, ac_tabs[0], fast_tabs[0],
+                                       ss, se, al, &eobrun)
+                         : ac_refine_fs(fs, block, ac_tabs[0], fast_tabs[0],
+                                        ss, se, al, &eobrun);
+          }
+          if (rc != OK) {
+            *err_unit = static_cast<int32_t>(u);
+            return rc;
+          }
+          ++u;
+          block += 64;
+          if (++bx == bw) {
+            bx = 0;
+            ++by;
+            block += row_pad;
+          }
+        }
+      }
+      bitpos = fs.bit_position();
+    }
+
+    // Careful phase: finish the run's tail with the exhaustion-tracking
+    // reader (state handed off; nothing to hand back — the next run
+    // starts at a restart boundary which resets everything).
+    if (u < run_end) {
+      ProgState st{{data, data_len, 0, 0, 0, 0},
+                   eobrun,
+                   {preds[0], preds[1], preds[2]}};
+      st.br.seek(bitpos >> 3);
+      if (bitpos & 7) {
+        st.br.fill();
+        st.br.drop(static_cast<int32_t>(bitpos & 7));
+      }
+      for (; u < run_end; ++u) {
+        int32_t rc = OK;
+        if (interleaved) {
+          const int64_t my = u / mcu_cols;
+          const int64_t mx = u % mcu_cols;
+          for (int s = 0; s < nslots && rc == OK; ++s) {
+            const int i = slot_scomp[s];
+            const int ci = slot_ci[s];
+            int32_t* block =
+                planes + comp_offset[ci] +
+                (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
+                 (mx * comp_h[ci] + slot_qh[s])) * 64;
+            rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[i], al)
+                         : dc_refine(st, block, al);
+          }
+        } else {
+          int32_t* block = unit_block(u);
+          if (ss == 0) {
+            rc = ah == 0 ? dc_first(st, block, slot_ci[0], dc_tabs[0], al)
+                         : dc_refine(st, block, al);
+          } else {
+            rc = ah == 0 ? ac_first(st, block, ac_tabs[0], fast_tabs[0],
+                                    ss, se, al)
+                         : ac_refine(st, block, ac_tabs[0], ss, se, al);
+          }
+        }
+        if (rc != OK) {
+          *err_unit = static_cast<int32_t>(u);
+          return rc;
+        }
       }
     }
-  } else {
-    const int ci = slot_ci[0];
-    const int64_t nblocks = static_cast<int64_t>(bw) * bh;
-    for (int64_t b = 0; b < nblocks; ++b) {
-      int32_t rc = restart(b);
-      if (rc != OK) { *err_unit = static_cast<int32_t>(b); return rc; }
-      const int64_t by = b / bw;
-      const int64_t bx = b % bw;
-      int32_t* block = planes + comp_offset[ci] +
-                       (by * comp_bwp[ci] + bx) * 64;
-      if (ss == 0) {
-        rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[0], al)
-                     : dc_refine(st, block, al);
-      } else {
-        rc = ah == 0 ? ac_first(st, block, ac_tabs[0], fast_tabs[0], ss, se, al)
-                     : ac_refine(st, block, ac_tabs[0], ss, se, al);
+  }
+  return OK;
+}
+
+extern "C" {
+
+// Per-scan export (semantic reference unit; the image-level entry below is
+// the production path — one ctypes call per image instead of per scan).
+int32_t pjt_decode_progressive_scan(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* seg_offsets, int32_t num_segs, int32_t restart_interval,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    int32_t interleaved,
+    int32_t mcu_rows, int32_t mcu_cols,
+    int32_t nslots, const int32_t* slot_scomp, const int32_t* slot_ci,
+    const int32_t* slot_qv, const int32_t* slot_qh,
+    const int32_t* comp_v, const int32_t* comp_h,
+    int32_t bw, int32_t bh,
+    int32_t nc,
+    const uint8_t* dc_counts, const uint8_t* dc_symbols,
+    const uint8_t* ac_counts, const uint8_t* ac_symbols,
+    int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
+    int32_t* err_unit) {
+  return decode_progressive_scan_impl(
+      data, data_len, seg_offsets, num_segs, restart_interval, ss, se, ah,
+      al, interleaved, mcu_rows, mcu_cols, nslots, slot_scomp, slot_ci,
+      slot_qv, slot_qh, comp_v, comp_h, bw, bh, nc, dc_counts, dc_symbols,
+      ac_counts, ac_symbols, planes, comp_offset, comp_bwp, err_unit);
+}
+
+// Decode ALL scans of a progressive image in one call (binding.py stages
+// every per-scan parameter as flat concatenated arrays; this removes the
+// per-scan Python staging + ctypes dispatch that dominated the progressive
+// wall clock).  Layouts:
+//   scan_i32     [nscans, 10]: ss, se, ah, al, interleaved, restart_interval,
+//                nslots, nc, bw, bh
+//   scan_data    [nscans, 2] int64: (offset, length) into `data`
+//   seg_idx      [nscans + 1] int64: per-scan slice of seg_offsets_all
+//   slots_all    [nscans, 10, 4] int32: (scomp, ci, qv, qh)
+//   dc/ac tables [nscans * 3][16] / [162] uint8
+// On error *err_scan / *err_unit report the failing scan and unit.
+int32_t pjt_decode_progressive_image(
+    const uint8_t* data, int64_t data_len,
+    int32_t nscans,
+    const int64_t* scan_data, const int64_t* seg_offsets_all,
+    const int64_t* seg_idx,
+    const int32_t* scan_i32, const int32_t* slots_all,
+    const int32_t* comp_v, const int32_t* comp_h,
+    int32_t mcu_rows, int32_t mcu_cols,
+    const uint8_t* dc_counts_all, const uint8_t* dc_symbols_all,
+    const uint8_t* ac_counts_all, const uint8_t* ac_symbols_all,
+    int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
+    int32_t* err_scan, int32_t* err_unit) {
+  if (nscans < 1) return ERR_BAD_ARGS;
+  for (int32_t sc = 0; sc < nscans; ++sc) {
+    const int32_t* p = scan_i32 + sc * 10;
+    const int64_t off = scan_data[sc * 2];
+    const int64_t len = scan_data[sc * 2 + 1];
+    if (off < 0 || len < 0 || off + len > data_len) return ERR_BAD_ARGS;
+    int32_t slot_scomp[10], slot_ci[10], slot_qv[10], slot_qh[10];
+    const int32_t nslots = p[6];
+    if (nslots < 0 || nslots > 10) return ERR_BAD_ARGS;
+    for (int s = 0; s < nslots; ++s) {
+      const int32_t* sl = slots_all + (sc * 10 + s) * 4;
+      slot_scomp[s] = sl[0];
+      slot_ci[s] = sl[1];
+      slot_qv[s] = sl[2];
+      slot_qh[s] = sl[3];
+    }
+    const int32_t num_segs = static_cast<int32_t>(seg_idx[sc + 1] -
+                                                  seg_idx[sc]);
+    int32_t rc = decode_progressive_scan_impl(
+        data + off, len, seg_offsets_all + seg_idx[sc], num_segs,
+        /*restart_interval=*/p[5], /*ss=*/p[0], /*se=*/p[1], /*ah=*/p[2],
+        /*al=*/p[3], /*interleaved=*/p[4], mcu_rows, mcu_cols, nslots,
+        slot_scomp, slot_ci, slot_qv, slot_qh, comp_v, comp_h,
+        /*bw=*/p[8], /*bh=*/p[9], /*nc=*/p[7],
+        dc_counts_all + sc * 3 * 16, dc_symbols_all + sc * 3 * 162,
+        ac_counts_all + sc * 3 * 16, ac_symbols_all + sc * 3 * 162,
+        planes, comp_offset, comp_bwp, err_unit);
+    if (rc != OK) {
+      *err_scan = sc;
+      return rc;
+    }
+  }
+  return OK;
+}
+
+// Assemble the [num_mcus, g, 64] int16 natural-order transport from the
+// zigzag-order coefficient planes (de-zigzag + int16 saturation + slot
+// gather) — the C++ equivalent of the NumPy fancy-index assembly in
+// codec/progressive.py, ~10x faster on the q75 corpus.
+int32_t pjt_progressive_assemble(
+    const int32_t* planes, const int64_t* comp_offset,
+    const int32_t* comp_bwp,
+    int32_t num_mcus, int32_t mcu_cols, int32_t g,
+    const int32_t* slot_ci, const int32_t* slot_qv, const int32_t* slot_qh,
+    const int32_t* comp_v, const int32_t* comp_h,
+    int16_t* out) {
+  if (g <= 0 || g > 10 || mcu_cols <= 0) return ERR_BAD_ARGS;
+  for (int64_t m = 0; m < num_mcus; ++m) {
+    const int64_t my = m / mcu_cols;
+    const int64_t mx = m % mcu_cols;
+    int16_t* mcu_out = out + m * g * 64;
+    for (int s = 0; s < g; ++s) {
+      const int32_t ci = slot_ci[s];
+      const int32_t* block =
+          planes + comp_offset[ci] +
+          (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
+           (mx * comp_h[ci] + slot_qh[s])) * 64;
+      int16_t* slot_out = mcu_out + s * 64;
+      for (int j = 0; j < 64; ++j) {
+        int32_t v = block[j];
+        v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+        slot_out[kZigzag[j]] = static_cast<int16_t>(v);
       }
-      if (rc != OK) { *err_unit = static_cast<int32_t>(b); return rc; }
     }
   }
   return OK;
@@ -1082,6 +1544,6 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 5; }
+int32_t pjt_abi_version() { return 6; }
 
 }  // extern "C"

@@ -147,6 +147,42 @@ class TestProgressiveNative:
             decode_progressive(header, use_native=False),
             decode_progressive(header, use_native=True))
 
+    def test_scan_level_matches_image_level(self, photo_image):
+        """The per-scan native export (semantic reference unit) agrees with
+        the one-call image-level production path, scan by scan."""
+        from pim_jpeg_decoder_tpu.native.binding import (
+            decode_progressive_image_cpp,
+            decode_progressive_scan_cpp,
+        )
+        from pim_jpeg_decoder_tpu.codec.tables import ZIGZAG
+
+        data = pil_progressive(photo_image, quality=80, subsampling=2,
+                               restart_marker_rows=1)
+        header = scan_jpeg(data)
+        comp_offset = np.zeros(3, np.int64)
+        total = 0
+        sizes = []
+        for ci in range(header.ncomp):
+            bwp, bhp = header.comp_blocks_padded(ci)
+            sizes.append((bhp, bwp))
+            comp_offset[ci] = total * 64
+            total += bhp * bwp
+        buf = np.zeros(total * 64, np.int32)
+        for scan in header.scans:
+            decode_progressive_scan_cpp(header, scan, buf, comp_offset)
+        slots = header.slot_components()
+        out = np.zeros((header.num_mcus, len(slots), 64), np.int16)
+        for s, (ci, qv, qh) in enumerate(slots):
+            c = header.components[ci]
+            bhp, bwp = sizes[ci]
+            plane = buf[int(comp_offset[ci]):
+                        int(comp_offset[ci]) + bhp * bwp * 64]
+            view = plane.reshape(bhp, bwp, 64)[qv::c.v, qh::c.h]
+            out[:, s, ZIGZAG] = np.clip(
+                view.reshape(header.num_mcus, 64), -32768, 32767)
+        np.testing.assert_array_equal(
+            out, decode_progressive_image_cpp(header))
+
     def test_truncated_raises(self, photo_image):
         data = pil_progressive(photo_image, quality=85, subsampling=0)
         header = scan_jpeg(data)
