@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -199,8 +200,9 @@ def bench_e2e(blobs) -> tuple:
         rates.append(report.total_megapixels / dt)
         if dt > 120:
             break  # tunnel-crawl window: don't triple a multi-minute pass
-    rates.sort()
-    return rates[len(rates) // 2], rates[-1]
+    # statistics.median averages the middle pair for even counts (a
+    # 2-run crawl-break would otherwise report the max as the "median").
+    return statistics.median(rates), max(rates)
 
 
 def bench_e2e_device(blobs) -> float:
@@ -244,8 +246,7 @@ def bench_e2e_device(blobs) -> float:
         rates.append(run(r))
         if time.monotonic() - t0 > 120:
             break  # tunnel-crawl window
-    rates.sort()
-    return rates[len(rates) // 2]
+    return statistics.median(rates)
 
 
 def make_variety_corpus() -> list:

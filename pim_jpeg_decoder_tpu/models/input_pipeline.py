@@ -93,6 +93,39 @@ def _maybe_compact(coeffs, wire: str):
     return coeffs
 
 
+def _host_stage(blobs: Sequence[bytes], lane_tile: int, scale: int,
+                prepare_threads: int, wire: str, caller: str):
+    """Host half of a same-size batch decode: scan + entropy decode +
+    transport staging + wire compaction.  Pure host work (no JAX calls),
+    so it runs safely on a prefetch worker thread."""
+    headers, h0, mode = _scan_same_size(blobs, caller)
+    batch = len(blobs)
+    per_img = h0.num_mcus
+    m_pad = -(-(batch * per_img) // lane_tile) * lane_tile
+
+    coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
+    qidx = np.zeros(m_pad, np.int32)
+    for i, c in enumerate(_entropy_decode_pool(headers, prepare_threads)):
+        coeffs[i * per_img:(i + 1) * per_img] = c
+        qidx[i * per_img:(i + 1) * per_img] = i
+    qpool = build_qpool(headers, mode)
+    coeffs = _maybe_compact(coeffs, wire)
+    return headers, h0, mode, coeffs, qidx, qpool, batch
+
+
+def _dispatch_staged(staged, lane_tile: int, scale: int):
+    """Device half: H2D + fused kernel + raster relayout (async)."""
+    headers, h0, mode, coeffs, qidx, qpool, batch = staged
+    out = _decode_batch_jit(
+        jnp.asarray(coeffs), jnp.asarray(qidx),
+        jnp.asarray(qpool, jnp.float32),
+        mode=mode, lane_tile=lane_tile, interpret=_interpret(),
+        batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
+        height=-(-h0.height // scale), width=-(-h0.width // scale),
+        scale=scale)
+    return out, headers
+
+
 def decode_same_size_batch(
     blobs: Sequence[bytes],
     lane_tile: int = LANE_TILE,
@@ -110,6 +143,9 @@ def decode_same_size_batch(
     ``wire="auto"`` ships coefficients as int8 when the whole batch fits
     (half the H2D bytes; widened exactly on device — see
     runtime.batching.compact_wire); "i16" disables the compaction.
+
+    For back-to-back batches use :func:`iter_decode_batches`, which
+    overlaps the host half of batch N+1 with device decode of batch N.
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
@@ -118,29 +154,72 @@ def decode_same_size_batch(
         raise ValueError("empty batch")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
-    headers, h0, mode = _scan_same_size(blobs, "decode_same_size_batch")
+    staged = _host_stage(blobs, lane_tile, scale, prepare_threads, wire,
+                         "decode_same_size_batch")
+    return _dispatch_staged(staged, lane_tile, scale)
 
-    batch = len(blobs)
-    per_img = h0.num_mcus
-    m_total = batch * per_img
-    m_pad = -(-m_total // lane_tile) * lane_tile
 
-    coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
-    qidx = np.zeros(m_pad, np.int32)
-    for i, c in enumerate(_entropy_decode_pool(headers, prepare_threads)):
-        coeffs[i * per_img:(i + 1) * per_img] = c
-        qidx[i * per_img:(i + 1) * per_img] = i
-    qpool = build_qpool(headers, mode)
+def iter_decode_batches(
+    blob_batches,
+    lane_tile: int = LANE_TILE,
+    scale: int = 1,
+    prepare_threads: int = 4,
+    wire: str = "auto",
+    prefetch: int = 2,
+):
+    """Streaming same-size batch decode with host/device overlap.
 
-    coeffs = _maybe_compact(coeffs, wire)
-    out = _decode_batch_jit(
-        jnp.asarray(coeffs), jnp.asarray(qidx),
-        jnp.asarray(qpool, jnp.float32),
-        mode=mode, lane_tile=lane_tile, interpret=_interpret(),
-        batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
-        height=-(-h0.height // scale), width=-(-h0.width // scale),
-        scale=scale)
-    return out, headers
+    Yields ``(device_batch, headers)`` per input batch — exactly what
+    :func:`decode_same_size_batch` returns for that batch (a CPU test
+    asserts equality) — while the host half (marker scan + C++ entropy
+    decode + staging) of up to ``prefetch`` upcoming batches runs on
+    worker threads.  Because device dispatch is asynchronous, device
+    decode of batch N overlaps entropy decode of batches N+1..N+prefetch:
+    the same producer/consumer overlap the BMP engine implements
+    (runtime/engine.py) and the reference gets from its two host threads
+    (reference: src/decoder_host.cpp:35-38,364-365), here for the
+    deployment-recommended ML input path.
+
+    ``blob_batches`` is any iterable of same-size blob sequences (batches
+    may differ in size/mode from each other; each batch must be internally
+    uniform).  Worker threads run only host code; all JAX dispatch happens
+    on the consuming thread.
+    """
+    if scale not in (1, 2, 4, 8):
+        raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
+    _check_wire(wire)
+    if prefetch < 1:
+        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
+
+    it = iter(blob_batches)
+    with ThreadPoolExecutor(prefetch,
+                            thread_name_prefix="pjt-prefetch") as pool:
+        pending = deque()
+
+        def submit_next() -> bool:
+            try:
+                blobs = list(next(it))
+            except StopIteration:
+                return False
+            if not blobs:
+                raise ValueError("empty batch")
+            pending.append(pool.submit(
+                _host_stage, blobs, lane_tile, scale, prepare_threads,
+                wire, "iter_decode_batches"))
+            return True
+
+        for _ in range(prefetch):
+            if not submit_next():
+                break
+        while pending:
+            staged = pending.popleft().result()
+            submit_next()
+            yield _dispatch_staged(staged, lane_tile, scale)
 
 
 @functools.partial(

@@ -55,6 +55,37 @@ def _sharded_fn(mesh: Mesh, mode: S.ModeSpec, lane_tile: int,
     return jax.jit(shmapped)
 
 
+def place_for_mesh(coeffs, qidx, qpool, mesh: Mesh):
+    """Asynchronously place decode inputs with their mesh shardings
+    (coefficients/qidx split over the MCU axis, qpool replicated).
+
+    Producer-side H2D: the engine's ``_stage_batch`` calls this on the
+    prepare side so the multi-chip transfer of batch N+1 overlaps the
+    consumer's dispatch of batch N — the same copy/exec overlap the
+    single-chip path has (and the reference's two threads,
+    reference: src/decoder_host.cpp:276-292).  ``decode_mcus_sharded``
+    recognizes already-placed inputs and does not place them again.
+
+    The coefficient wire dtype (int8 from batching.compact_wire, else
+    int16) is preserved on the wire and widened on device.
+    """
+    import numpy as _np
+    wire_dt = (jnp.int8 if _np.dtype(getattr(coeffs, "dtype", _np.int16))
+               == _np.dtype(_np.int8) else jnp.int16)
+    coeffs = jax.device_put(
+        jnp.asarray(coeffs, wire_dt), NamedSharding(mesh, P(MCU_AXIS)))
+    qidx = jax.device_put(
+        jnp.asarray(qidx, jnp.int32), NamedSharding(mesh, P(MCU_AXIS)))
+    qpool = jax.device_put(
+        jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
+    return coeffs, qidx, qpool
+
+
+def _already_placed(arr, mesh: Mesh, spec) -> bool:
+    return (isinstance(arr, jax.Array)
+            and getattr(arr, "sharding", None) == NamedSharding(mesh, spec))
+
+
 def decode_mcus_sharded(
     coeffs,                   # [M, g, 64] int16; M % (n_devices*lane_tile) == 0
     qidx,                     # [M] int32
@@ -83,15 +114,12 @@ def decode_mcus_sharded(
 
     # Preserve an int8 coefficient wire (batching.compact_wire): the H2D
     # placement ships half the bytes; shard_map's impl widens on device.
-    import numpy as _np
-    wire_dt = (jnp.int8 if _np.dtype(getattr(coeffs, "dtype", _np.int16))
-               == _np.dtype(_np.int8) else jnp.int16)
-    coeffs = jax.device_put(
-        jnp.asarray(coeffs, wire_dt), NamedSharding(mesh, P(MCU_AXIS)))
-    qidx = jax.device_put(
-        jnp.asarray(qidx, jnp.int32), NamedSharding(mesh, P(MCU_AXIS)))
-    qpool = jax.device_put(
-        jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
+    # Inputs already placed by place_for_mesh (producer-side overlap) pass
+    # straight through — no second placement.
+    if not (_already_placed(coeffs, mesh, P(MCU_AXIS))
+            and _already_placed(qidx, mesh, P(MCU_AXIS))
+            and _already_placed(qpool, mesh, P())):
+        coeffs, qidx, qpool = place_for_mesh(coeffs, qidx, qpool, mesh)
 
     fn = _sharded_fn(mesh, mode, lane_tile, _interpret(), raw, ycbcr,
                      scale)

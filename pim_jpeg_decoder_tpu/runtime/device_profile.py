@@ -22,7 +22,7 @@ import os
 import tempfile
 from typing import Dict, Optional, Tuple
 
-_CACHE_VERSION = 4   # v4: noise-adaptive loop-length ladder
+_CACHE_VERSION = 5   # v5: quant pool sized to max_images_per_batch
 _CACHE_PATH = os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
                            "phase_cache.json")
 
@@ -110,9 +110,14 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
     coeff_rot = [jax.device_put(
         rng.integers(lo, hi, (m, mode.g, 64)).astype(wire_np))
         for _ in range(n_rot)]
-    qidx = jax.device_put((np.arange(m) % 4).astype(np.int32))
+    # Size the synthetic quant pool to the engine's production maximum so
+    # the one-hot quant-gather matmul dimension matches real launches
+    # (a Q=4 pool under-reports batches holding up to max_images images).
+    from pim_jpeg_decoder_tpu.ops.decode_kernel import MAX_IMAGES_PER_BATCH
+    q = MAX_IMAGES_PER_BATCH
+    qidx = jax.device_put((np.arange(m) % q).astype(np.int32))
     qpool_rot = [jax.device_put(
-        rng.integers(1, 64, (4, mode.g, 64)).astype(np.float32))
+        rng.integers(1, 64, (q, mode.g, 64)).astype(np.float32))
         for _ in range(n_rot)]
 
     def us(step, consume):
@@ -193,6 +198,7 @@ def phase_report_lines(launch_stats: Dict[LaunchKey, int],
         return []  # interpret-mode timing would be meaningless
     totals = {"dequantize_us": 0.0, "idct_us": 0.0, "color_us": 0.0,
               "fused_us": 0.0}
+    covered = {k: 0 for k in totals}  # launches contributing to each line
     measured_launches = 0
     total_launches = sum(launch_stats.values())
     for key, count in launch_stats.items():
@@ -202,6 +208,7 @@ def phase_report_lines(launch_stats: Dict[LaunchKey, int],
         measured_launches += count
         for name, v in phases.items():
             totals[name] += v * count
+            covered[name] += count
 
     lines = []
     if measured_launches == 0:
@@ -226,6 +233,11 @@ def phase_report_lines(launch_stats: Dict[LaunchKey, int],
     }
     for k, lab in label.items():
         if totals[k]:
-            lines.append(f"   - {lab} (unfused-equivalent): "
+            # Sub-phase lines cover only geometries with stage-kernel
+            # equivalents (scale==1; color only for the RGB transport) —
+            # annotate coverage so mixed-transport runs read honestly.
+            cov = ("" if covered[k] == measured_launches
+                   else f", {covered[k]}/{measured_launches} launches")
+            lines.append(f"   - {lab} (unfused-equivalent{cov}): "
                          f"{totals[k] / 1e6:.6f} (s)")
     return lines

@@ -179,7 +179,18 @@ class DecodeEngine:
             # H2D bytes, widened on device (see batching.compact_wire).
             batch.coeffs = compact_wire(batch.coeffs)
         if self._mesh is not None:
-            return batch  # sharded path places data itself
+            n = self._mesh.devices.size
+            if batch.coeffs.shape[0] % (n * self.lane_tile) == 0:
+                # Producer-side mesh placement: the multi-chip H2D of
+                # batch N+1 overlaps the consumer's dispatch of batch N
+                # (decode_mcus_sharded passes placed inputs through).
+                from pim_jpeg_decoder_tpu.parallel.sharding import (
+                    place_for_mesh,
+                )
+                with timers.stage("h2d"):
+                    batch.coeffs, batch.qidx, batch.qpool = place_for_mesh(
+                        batch.coeffs, batch.qidx, batch.qpool, self._mesh)
+            return batch  # non-divisible batches dispatch single-device
         with timers.stage("h2d"):
             batch.coeffs = jax.device_put(batch.coeffs)
             batch.qidx = jax.device_put(batch.qidx)

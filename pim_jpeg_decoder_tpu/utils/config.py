@@ -50,7 +50,11 @@ class EngineConfig:
     # int8->int16 widening fuses into the on-device [M,g,64]->[g,64,M]
     # transpose the kernel needs anyway, so device work does not grow.
     # Batches with any |coeff| > 127 fall back to int16 (bit-exactness is
-    # unconditional).  "i16" disables the compaction.
+    # unconditional).  "i16" disables the compaction.  COLD-START NOTE: a
+    # corpus mixing int8-fitting and overflowing batches compiles BOTH the
+    # i8 and i16 Mosaic variants per launch geometry (~60-80 s each on
+    # first run; persistent-cached after) — set PIM_JPEG_TPU_WIRE=i16 when
+    # first-run compile latency matters more than H2D bytes.
     wire: str = "auto"
 
     @classmethod

@@ -160,3 +160,73 @@ class TestBatchedCropsScaled:
         with pytest.raises(ValueError, match="multiples of scale"):
             decode_same_size_batch_crops(blobs, [(0, 0)], (55, 72),
                                          lane_tile=128, scale=2)
+
+
+class TestIterDecodeBatches:
+    """Streaming prefetch API: must equal serial decode_same_size_batch."""
+
+    def test_matches_serial(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batches)
+
+        batches = []
+        for b in range(3):
+            batches.append([
+                encode_jpeg(np.roll(photo_image, 5 * b + i, axis=1),
+                            quality=75 + b, sampling="4:2:0")
+                for i in range(2)
+            ])
+        # Batches may differ from each other (only internally uniform):
+        # final batch is a different size and mode.
+        small = photo_image[:56, :72]
+        batches.append([encode_jpeg(small, quality=90, sampling="4:4:4")])
+
+        streamed = list(iter_decode_batches(batches, lane_tile=128))
+        assert len(streamed) == len(batches)
+        for blobs, (out, headers) in zip(batches, streamed):
+            want, want_headers = decode_same_size_batch(blobs,
+                                                        lane_tile=128)
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(want))
+            assert [h.width for h in headers] == [h.width
+                                                  for h in want_headers]
+
+    def test_generator_is_lazy_and_prefetches(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batches)
+
+        blob = encode_jpeg(photo_image, quality=80, sampling="4:2:0")
+        consumed = []
+
+        def gen():
+            for i in range(4):
+                consumed.append(i)
+                yield [blob]
+
+        it = iter_decode_batches(gen(), lane_tile=128, prefetch=2)
+        first = next(it)
+        # prefetch=2: after one pull, the source advanced past the yielded
+        # batch (the prefetcher is ahead) but has not drained the stream.
+        assert len(consumed) >= 2
+        assert np.asarray(first[0]).shape[0] == 1
+        rest = list(it)
+        assert len(rest) == 3
+
+    def test_error_propagates(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batches)
+
+        good = encode_jpeg(photo_image, quality=80, sampling="4:2:0")
+        bad = good[:40]  # truncated mid-header
+        batches = [[good], [bad], [good]]
+        it = iter_decode_batches(batches, lane_tile=128)
+        np.asarray(next(it)[0])
+        with pytest.raises(JpegError):
+            next(it)
+
+    def test_empty_batch_rejected(self):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batches)
+
+        with pytest.raises(ValueError, match="empty batch"):
+            list(iter_decode_batches([[]]))

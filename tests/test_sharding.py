@@ -200,3 +200,48 @@ class TestShardedInt8Wire:
             padded, qidx, qpool, mode, mesh=eight_device_mesh,
             lane_tile=LANE_TILE))
         np.testing.assert_array_equal(got, want)
+
+
+    def test_preplaced_inputs_no_double_placement(self, photo_image,
+                                                  eight_device_mesh):
+        """place_for_mesh (the engine's producer-side H2D) feeds
+        decode_mcus_sharded without a second placement, and the result
+        still matches the oracle single-device decode."""
+        from unittest.mock import patch
+
+        from pim_jpeg_decoder_tpu.parallel.sharding import place_for_mesh
+        from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
+
+        data = encode_jpeg(photo_image, quality=82, sampling="4:2:0")
+        header = scan_jpeg(data)
+        coeffs = decode_scan(header)
+        mode = S.mode_for(header.mode_key)
+
+        n = 8 * LANE_TILE
+        m_pad = -(-header.num_mcus // n) * n
+        padded = np.zeros((m_pad, mode.g, 64), np.int16)
+        padded[: header.num_mcus] = coeffs
+        qidx = np.zeros(m_pad, np.int32)
+        qpool = build_qpool([header], mode)
+
+        # Producer side: int8 wire + mesh placement (as _stage_batch does).
+        wire = compact_wire(padded)
+        placed = place_for_mesh(wire, qidx, qpool, eight_device_mesh)
+        assert placed[0].dtype == np.int8  # wire preserved on placement
+
+        real_put = jax.device_put
+        calls = []
+
+        def counting_put(x, *a, **kw):
+            calls.append(x)
+            return real_put(x, *a, **kw)
+
+        with patch.object(jax, "device_put", side_effect=counting_put):
+            sharded = np.asarray(decode_mcus_sharded(
+                *placed, mode, mesh=eight_device_mesh,
+                lane_tile=LANE_TILE))
+        assert not calls, "decode_mcus_sharded re-placed placed inputs"
+
+        single = np.asarray(decode_mcus(
+            padded, qidx, qpool, mode, lane_tile=LANE_TILE))
+        np.testing.assert_array_equal(sharded, single)

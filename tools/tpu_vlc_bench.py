@@ -55,7 +55,7 @@ def _vlc_kernel(seed_ref, data_ref, lut_ref, out_ref):
             jax.lax.shift_right_logical(lo, 32 - shift))
         probe = jax.lax.shift_right_logical(win, 24) & 0xFF
         entry = lut_ref[probe]
-        code_len = entry & 0xF              # 1..8 bits
+        code_len = entry & 0xF              # 2..8 bits (the harness draws 2..8)
         val_bits = (entry >> 4) & 0xF       # 0..11 magnitude bits
         acc = acc + ((entry >> 8) & 0xFF)
         return bitpos + code_len + val_bits, acc, nsym + 1
