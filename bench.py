@@ -38,8 +38,47 @@ KERNEL_BATCH_MCUS = 16384
 KERNEL_REPS = 132
 
 
+def synth_scene(rng, w: int, h: int) -> np.ndarray:
+    """One distinct synthetic scene: gradient base + multi-octave blobs +
+    texture + geometry.  Every call draws fresh structure (octave mix,
+    palette, shape layout), so coefficient statistics vary image to image
+    instead of being 47 rolls of one photograph."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.empty((h, w, 3), np.float32)
+    for c in range(3):
+        a, b = rng.uniform(-1, 1, 2)
+        img[..., c] = rng.uniform(60, 200) + 70 * a * xx / w + 70 * b * yy / h
+    # Low/mid-frequency structure: upsampled noise octaves.
+    for cell, amp in ((int(rng.integers(24, 64)), rng.uniform(15, 45)),
+                      (int(rng.integers(6, 16)), rng.uniform(5, 25))):
+        small = rng.normal(0, 1, (h // cell + 2, w // cell + 2, 3))
+        small = (small - small.min()) / (np.ptp(small) + 1e-6) * 255
+        up = np.array(Image.fromarray(small.astype(np.uint8)).resize(
+            (w, h), Image.BILINEAR), np.float32)
+        img += amp * (up - 128) / 128 * rng.uniform(20, 60)
+    # Geometry: a few hard-edged rectangles/disks (ringing content).
+    for _ in range(int(rng.integers(2, 7))):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        ry, rx = rng.integers(h // 16, h // 3), rng.integers(w // 16, w // 3)
+        color = rng.uniform(0, 255, 3)
+        if rng.random() < 0.5:
+            img[max(0, cy - ry):cy + ry, max(0, cx - rx):cx + rx] = (
+                0.6 * img[max(0, cy - ry):cy + ry,
+                          max(0, cx - rx):cx + rx] + 0.4 * color)
+        else:
+            mask = ((yy - cy) ** 2 / max(ry, 1) ** 2
+                    + (xx - cx) ** 2 / max(rx, 1) ** 2) <= 1.0
+            img[mask] = 0.5 * img[mask] + 0.5 * color
+    # Fine texture at a drawn amplitude (sensor-noise analogue).
+    img += rng.normal(0, rng.uniform(1.5, 9.0), (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def make_corpus() -> list:
-    """ImageNet-like corpus: 500x375 4:2:0 q75 baseline JPEGs."""
+    """ImageNet-like corpus: 500x375 4:2:0 q75 baseline JPEGs with
+    DISTINCT content per image (1 real photo + synthetic scenes)."""
     from PIL import Image
 
     blobs = []
@@ -47,25 +86,52 @@ def make_corpus() -> list:
         with open(ILSVRC, "rb") as f:
             blobs.append(("ilsvrc", f.read()))
     rng = np.random.default_rng(42)
-    base = None
-    if blobs:
-        base = np.array(Image.open(io.BytesIO(blobs[0][1])).convert("RGB"))
     while len(blobs) < NUM_IMAGES:
-        i = len(blobs)
-        if base is not None:
-            # Perturbed crops/rolls of the real photo: realistic spectra.
-            img = np.roll(base, (i * 17, i * 31), (0, 1))
-            noise = rng.integers(-8, 9, img.shape, np.int16)
-            img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-        else:
-            small = rng.integers(0, 256, (24, 32, 3), np.uint8)
-            img = np.array(Image.fromarray(small).resize((500, 375),
-                                                         Image.BILINEAR))
+        img = synth_scene(rng, 500, 375)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="JPEG", quality=75,
                                   subsampling=2)
-        blobs.append((f"img{i}", buf.getvalue()))
+        blobs.append((f"img{len(blobs)}", buf.getvalue()))
     return blobs
+
+
+# Heterogeneous hardware corpus: (name, w, h, PIL subsampling or "gray").
+MIXED_SPECS = [
+    ("mixed_2048x1536_420", 2048, 1536, 2),
+    ("mixed_1600x1200_422", 1600, 1200, 1),
+    ("mixed_1024x768_420", 1024, 768, 2),
+    ("mixed_800x600_gray", 800, 600, "gray"),
+    ("mixed_640x480_422", 640, 480, 1),
+    ("mixed_513x389_420", 513, 389, 2),       # odd dims, partial MCUs
+    ("mixed_333x257_444", 333, 257, 0),
+    ("mixed_160x120_420", 160, 120, 2),
+    ("mixed_97x61_gray", 97, 61, "gray"),
+]
+
+
+def make_mixed_corpus(small_only: bool = False) -> list:
+    """Mixed-size/mixed-mode corpus: heterogeneous dims (2048x1536 down to
+    97x61, odd sizes) across 4:2:0 / 4:2:2 / 4:4:4 / grayscale — exercises
+    partial bucketed batches, dedicated launches, and multi-image qpools
+    on the real chip (the reference's batcher exists precisely for mixed
+    corpora, reference: src/decoder_host.cpp:118-184)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1234)
+    out = []
+    for name, w, h, sub in MIXED_SPECS:
+        if small_only and w * h > 700 * 600:
+            continue
+        img = synth_scene(rng, w, h)
+        buf = io.BytesIO()
+        if sub == "gray":
+            Image.fromarray(img).convert("L").save(
+                buf, format="JPEG", quality=80)
+        else:
+            Image.fromarray(img).save(buf, format="JPEG", quality=80,
+                                      subsampling=sub)
+        out.append((name, buf.getvalue()))
+    return out
 
 
 def bench_pil(blobs) -> float:
@@ -249,6 +315,66 @@ def bench_e2e_device(blobs) -> float:
     return statistics.median(rates)
 
 
+def bench_e2e_mixed(mixed) -> float:
+    """Mixed-size/mode BMP-path throughput: the engine's routing surface
+    (partial buckets, dedicated launches, multi-image qpools) timed on the
+    real chip.  Median of up to 3 runs."""
+    from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
+
+    engine = DecodeEngine(budget_mcus=16384, prepare_threads=8)
+    engine.decode_named_blobs(mixed)  # warmup: compile every geometry
+    rates = []
+    t_all = time.monotonic()
+    for _ in range(3):
+        t0 = time.monotonic()
+        report = engine.decode_named_blobs(mixed)
+        dt = time.monotonic() - t0
+        assert report.ok_count == len(mixed), [
+            r.error for r in report.results if not r.ok]
+        rates.append(report.total_megapixels / dt)
+        if time.monotonic() - t_all > 150:
+            break  # tunnel-crawl window
+    return statistics.median(rates)
+
+
+def bench_e2e_stream(blobs) -> float:
+    """Streaming ML-input-pipeline e2e (iter_decode_batches): host entropy
+    decode of batch N+1 overlaps device decode of batch N.  Same
+    device-resident accounting as bench_e2e_device; median of 3."""
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+    from pim_jpeg_decoder_tpu.models.input_pipeline import (
+        iter_decode_batches,
+    )
+
+    groups = {}
+    for _, d in blobs:
+        h = scan_jpeg(d)
+        groups.setdefault((h.width, h.height, h.mode_key), []).append(
+            (d, h.width * h.height / 1e6))
+    batch = max(groups.values(), key=len)
+    datas = [d for d, _ in batch]
+    mp = sum(m for _, m in batch)
+    nb = max(2, len(datas) // 12)
+    size = -(-len(datas) // nb)
+    batches = [datas[i:i + size] for i in range(0, len(datas), size)]
+
+    def run(rot: int) -> float:
+        rotated = [b[rot:] + b[:rot] for b in batches]
+        t0 = time.monotonic()
+        for out, _ in iter_decode_batches(rotated, prefetch=2):
+            np.asarray(out[:, ::97, ::97, :])  # force real completion
+        return mp / (time.monotonic() - t0)
+
+    run(1)  # warmup
+    rates = []
+    t0 = time.monotonic()
+    for r in (2, 3, 4):
+        rates.append(run(r))
+        if time.monotonic() - t0 > 120:
+            break
+    return statistics.median(rates)
+
+
 def make_variety_corpus() -> list:
     """Fixtures covering every mode x transport x coding path for the
     on-hardware bit-exactness sweep: 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 /
@@ -298,16 +424,19 @@ def probe_tunnel_mbps() -> float:
     return (2 * buf.nbytes / 1e6) / max(dt, 1e-6)
 
 
-def check_bit_exact(blobs, variety, reduced: bool = False) -> dict:
+def check_bit_exact(blobs, variety, mixed, reduced: bool = False) -> dict:
     """On-hardware bit-exactness sweep vs the NumPy oracle.
 
-    Every corpus + variety image through the engine in BOTH wire transports
-    (auto -> YCbCr where it saves bytes, rgb -> forced RGB), plus the scaled
-    (reduced-IDCT) kernel for every mode x scale and region decode — so each
-    kernel variant and transport is asserted bit-exact on the real chip,
-    not just in interpret mode.  Returns {"ok", "images", "checks",
-    "failures": [names]}.
+    Every corpus + variety + mixed-size image through the engine in BOTH
+    wire transports (auto -> YCbCr where it saves bytes, rgb -> forced
+    RGB), plus the scaled (reduced-IDCT) kernel for every mode x scale,
+    region decode, and a BANDED (chunked) decode with max_launch_mcus
+    forced below the image's MCU count — so each kernel variant,
+    transport, and the _split_bands multi-launch route is asserted
+    bit-exact on the real chip, not just in interpret mode.  Returns
+    {"ok", "images", "checks", "failures": [names]}.
     """
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
     from pim_jpeg_decoder_tpu.models.pipeline import (
         decode_region,
         decode_scaled,
@@ -321,13 +450,36 @@ def check_bit_exact(blobs, variety, reduced: bool = False) -> dict:
 
     if reduced:
         # Crawl-window fallback: every mode/transport/path still covered
-        # (variety spans all modes; 3 corpus images keep the real-photo
+        # (variety spans all modes; 3 corpus images keep the full-res
         # spectra), just not the full 48-image corpus.
         blobs = blobs[:3]
-    all_imgs = list(blobs) + list(variety)
+    all_imgs = list(blobs) + list(variety) + list(mixed)
     oracle = {name: decode_bytes_oracle(data).rgb for name, data in all_imgs}
     failures = []
     checks = 0
+
+    # Banded (chunked) decode on hardware: force the launch cap below the
+    # image's MCU count so _split_bands + accumulator paste run as real
+    # multi-launch TPU decodes (the "no size ceiling" path the reference
+    # rejects outright, reference: src/decoder_host.cpp:146-149).
+    banded_pool = [(n, d) for n, d in mixed
+                   if scan_jpeg(d).num_mcus > 1200]
+    if banded_pool:
+        bname, bdata = (min if reduced else max)(
+            banded_pool, key=lambda nd: scan_jpeg(nd[1]).num_mcus)
+        cap = 512
+        n_mcus = scan_jpeg(bdata).num_mcus
+        engine_b = DecodeEngine(keep_rgb=True, config=EngineConfig(
+            budget_mcus=16384, max_launch_mcus=cap))
+        rep = engine_b.decode_named_blobs([(bname, bdata)])
+        checks += 1
+        res = rep.results[0]
+        launches = sum(rep.launch_stats.values())
+        expect_min = -(-n_mcus // cap)
+        if not (res.ok and np.array_equal(res.rgb, oracle[bname])
+                and launches >= min(2, expect_min)):
+            failures.append(
+                f"{bname}[banded launches={launches} ok={res.ok}]")
 
     # auto transport over EVERYTHING; the forced-RGB transport pass over
     # the variety set only — RGB-vs-YCbCr divergence would be per sampling
@@ -369,12 +521,15 @@ def main() -> None:
     tunnel_mbps = probe_tunnel_mbps()
     crawl = tunnel_mbps < 5.0
     e2e_blobs = blobs[:12] if crawl else blobs
+    mixed = make_mixed_corpus(small_only=crawl)
     e2e_device_mps = bench_e2e_device(e2e_blobs)
+    e2e_stream_mps = bench_e2e_stream(e2e_blobs)
     e2e_mps, e2e_best_mps = bench_e2e(e2e_blobs)
+    e2e_mixed_mps = bench_e2e_mixed(mixed)
     entropy_mps = bench_host_entropy(blobs)
     progressive_mps = bench_progressive(blobs)
     pil_mps = bench_pil(blobs)
-    exact = check_bit_exact(blobs, variety, reduced=crawl)
+    exact = check_bit_exact(blobs, variety, mixed, reduced=crawl)
 
     result = {
         "metric": "JPEG decode throughput per chip (fused dequant+IDCT+color, device-resident)",
@@ -383,8 +538,10 @@ def main() -> None:
         "vs_baseline": round(kernel_mps / pil_mps, 2),
         "ycbcr_kernel_mps": round(ycbcr_kernel_mps, 1),
         "e2e_device_mps": round(e2e_device_mps, 1),
+        "e2e_stream_mps": round(e2e_stream_mps, 1),
         "e2e_mps": round(e2e_mps, 1),
         "e2e_best_mps": round(e2e_best_mps, 1),
+        "e2e_mixed_mps": round(e2e_mixed_mps, 1),
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
@@ -392,7 +549,12 @@ def main() -> None:
         "bit_exact_vs_oracle": exact["ok"],
         "bit_exact_images": exact["images"],
         "bit_exact_checks": exact["checks"],
+        # r3: corpus re-based to distinct-content scenes (1 photo + 47
+        # synthetic); host/pil/e2e numbers are not comparable to r1/r2's
+        # single-photo-roll corpus.
+        "corpus": "distinct-scenes-v3",
         "corpus_images": len(blobs),
+        "mixed_images": len(mixed),
         "tunnel_mbps": round(tunnel_mbps, 2),
         "e2e_images": len(e2e_blobs),
     }

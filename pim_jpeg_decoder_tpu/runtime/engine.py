@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -77,6 +78,10 @@ class EngineReport:
     # (runtime/device_profile.py; the reference's per-DPU-phase counters,
     # reference: src/decoder_host.cpp:388-391).
     launch_stats: Dict[tuple, int] = dataclasses.field(default_factory=dict)
+    # Launch geometry -> per-dispatch wall durations (first call of a new
+    # geometry pays JAX trace + XLA compile), for the init line below.
+    dispatch_times: Dict[tuple, list] = dataclasses.field(
+        default_factory=dict)
 
     @property
     def ok_count(self) -> int:
@@ -98,6 +103,26 @@ class EngineReport:
             "Decoded files": f"{self.ok_count}/{len(self.results)}",
             "Total megapixels": f"{self.total_megapixels:.2f}",
         }))
+        if self.dispatch_times:
+            # Mirror of the reference's per-run "initialization" counter
+            # (reference: src/decoder_dpu.c:85-89, decoder_host.cpp:388):
+            # here init = JAX trace + XLA compile, paid once per launch
+            # geometry (first dispatch of each key; warm dispatches are
+            # async and take ~ms).  Cold = first dispatch exceeded the
+            # warm-dispatch median by >100 ms.
+            import statistics
+            warm = [d for ds in self.dispatch_times.values()
+                    for d in ds[1:]]
+            typical = statistics.median(warm) if warm else 0.0
+            init_s = 0.0
+            cold = 0
+            for ds in self.dispatch_times.values():
+                excess = ds[0] - typical
+                if excess > max(0.1, 5 * typical):
+                    init_s += excess
+                    cold += 1
+            print(f" - Device program init (trace+compile, {cold} cold "
+                  f"geometries): {init_s:.6f} (s)")
         if device_phases != "off" and self.launch_stats:
             from pim_jpeg_decoder_tpu.runtime.device_profile import (
                 phase_report_lines,
@@ -386,6 +411,7 @@ class DecodeEngine:
         timers = StageTimers()
         results: Dict[int, FileResult] = {}
         launch_stats: Dict[tuple, int] = {}
+        dispatch_times: Dict[tuple, list] = {}
         batch_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=4)
         router = ModeRouter(self.budget_mcus, max_images=self.max_images,
                             lane_tile=self.batch_align)
@@ -412,11 +438,14 @@ class DecodeEngine:
                 if batch is None:
                     break
                 try:
+                    t_disp = time.monotonic()
                     dev, launch_key = self._dispatch_batch(batch, timers)
                     # Consumer thread is the only writer; count only
                     # launches that actually dispatched.
                     launch_stats[launch_key] = (
                         launch_stats.get(launch_key, 0) + 1)
+                    dispatch_times.setdefault(launch_key, []).append(
+                        time.monotonic() - t_disp)
                     # Start the D2H transfer immediately so it overlaps the
                     # host-side assembly/BMP write of the previous batch
                     # (the D2H half of the reference's copy/exec overlap,
@@ -487,7 +516,8 @@ class DecodeEngine:
 
         ordered = [results.get(i, FileResult(name, False, error="missing"))
                    for i, (name, _) in enumerate(items)]
-        return EngineReport(ordered, timers, launch_stats)
+        return EngineReport(ordered, timers, launch_stats,
+                            dispatch_times)
 
     def decode_paths(self, paths: Sequence[str], write: bool = True,
                      sort: bool = True) -> EngineReport:
