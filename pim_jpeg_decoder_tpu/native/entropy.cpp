@@ -483,66 +483,14 @@ inline int32_t decode_symbol_fs(FastState& fs, const HuffTable& tab,
   return ERR_BAD_CODE;
 }
 
-// One fast-AC probe-step: resolves one LUT window — up to TWO coefficients
-// via the pair extension, or a coefficient + EOB, or ZRL/EOB — consuming
-// <= 12 bits.  Returns kStepMore (continue probing), kStepDone (block
-// complete), kStepSlow (window needs the slow path; nothing consumed), or
-// a negative error code.  Error codes and the failing position match the
-// careful path exactly; bits consumed past an error are unobservable
-// because decode aborts.
-constexpr int32_t kStepMore = 1;
-constexpr int32_t kStepDone = 2;
-constexpr int32_t kStepSlow = 3;
-
-inline int32_t fast_ac_step(FastState& fs, const FastAc* fac, int16_t* out,
-                            int32_t* k_io) {
-  const FastAc fa = fac[fs.peek12()];
-  int32_t k = *k_io;
-  if (static_cast<uint32_t>(fa.run) > 15u) {
-    // Cold classes behind ONE usually-not-taken branch: slow (-1 wraps
-    // large unsigned), ZRL (16), EOB (17).
-    if (fa.run < 0) return kStepSlow;
-    fs.consume(fa.packed & 0x0F);
-    if (fa.run == 17) return kStepDone;  // EOB
-    *k_io = k + 16;                      // ZRL
-    return k + 16 >= 64 ? kStepDone : kStepMore;
-  }
-  const int32_t k1 = k + fa.run;
-  if (k1 >= 63) {
-    // Block-terminal (or out-of-range) — cold.  At k1 == 63 sequential
-    // decode ends the block after symbol 1, so a recorded pair must
-    // single-ify: its second symbol belongs to the NEXT block.
-    if (k1 > 63) return ERR_AC_RANGE;
-    fs.consume(fa.packed & 0x0F);
-    out[kZigzag[63]] = fa.value;
-    *k_io = 64;
-    return kStepDone;
-  }
-  // Branchless single/pair: single entries are pairs with run2enc == 0,
-  // val2 == 0 and bits2 == t1 — their "second store" writes a benign 0 at
-  // k1+1 <= 63 (a position that is zero in sequential decode: a following
-  // symbol either overwrites it with run 0 or zero-runs past it), and
-  // their k advance is k1 + 1.  This removes the unpredictable
-  // pair-vs-single branch from the hottest path.
-  fs.consume(fa.bits2);
-  out[kZigzag[k1]] = fa.value;
-  const int32_t r2 = fa.run2enc;  // run2 | (pair << 4) | (pair_eob << 5)
-  const int32_t k2 = k1 + 1 + (r2 & 15);
-  if (k2 > 63) return ERR_AC_RANGE;  // reachable only for real pairs
-  out[kZigzag[k2]] = fa.val2;
-  k = k2 + ((r2 >> 4) & 1);
-  *k_io = k;
-  if (r2 & 32) return kStepDone;  // coefficient-then-EOB pair
-  return k >= 64 ? kStepDone : kStepMore;
-}
-
 // Guarded-region block decode: bit-identical coefficients and error codes
-// to decode_block (differential tests + fuzz assert this), restructured for
-// the serial dependency chain — one branchless refill per coefficient, one
-// fused LUT probe (symbol + magnitude + EXTEND), one subtract of the bit
-// count.  After each refill >= 56 bits are valid: a fast hit costs <= 12,
-// so a second probe piggybacks on the same refill before the loop returns
-// to the top (two coefficients per refill in the common run).
+// to decode_block (differential tests + fuzz assert this), restructured
+// for the serial dependency chain — branchless refills, one fused LUT
+// probe per window resolving up to TWO coefficients (pair extension;
+// singles are pairs writing a benign zero, removing the unpredictable
+// pair-vs-single branch), one subtract of the bit count.  Error codes
+// and failing positions match the careful path exactly; bits consumed
+// past an error are unobservable because decode aborts.
 inline int32_t decode_block_fast(FastState& fs, int16_t* out,
                                  const HuffTable& dc, const FastDc* fdc,
                                  const HuffTable& ac, const FastAc* fac,
@@ -566,32 +514,66 @@ inline int32_t decode_block_fast(FastState& fs, int16_t* out,
   while (k < 64) {
     fs.refill();
     // Three probe-steps per refill: each consumes <= 12 bits (pair
-    // included), so 36 worst-case, and a slow path entered after the
-    // first two steps needs <= 26 more (24 + 26 = 50 <= 56); a slow
-    // return from step 3 consumed nothing (24 + 26 still fits).
-    int32_t st = fast_ac_step(fs, fac, out, &k);
-    if (st == kStepMore) st = fast_ac_step(fs, fac, out, &k);
-    if (st == kStepMore) st = fast_ac_step(fs, fac, out, &k);
-    if (st == kStepMore) continue;
-    if (st == kStepDone) return OK;
-    if (st < 0) return st;
-    // Slow path: long code or wide magnitude (probes consumed nothing).
-    int32_t sym;
-    int32_t rc = decode_symbol_fs(fs, ac, &sym);
-    if (rc != OK) return rc;
-    if (sym == 0x00) return OK;  // EOB
-    int32_t run = sym >> 4;
-    int32_t size = sym & 0x0F;
-    if (size == 0) {
-      if (sym != 0xF0) return ERR_BAD_AC_SYMBOL;
-      k += 16;  // ZRL
-      continue;
+    // included), so 36 worst-case, and the slow path (entered with at
+    // most two completed steps = 24 bits behind it) needs <= 26 more
+    // (24 + 26 = 50 <= 56).  The body is inlined with goto-structured
+    // cold paths so `k` and the cursor stay in registers with no
+    // status-code plumbing on the hot path.
+    for (int probes = 0; probes < 3; ++probes) {
+      const FastAc fa = fac[fs.peek12()];
+      if (__builtin_expect(static_cast<uint32_t>(fa.run) > 15u, 0)) {
+        if (fa.run < 0) goto slow;  // long code / wide magnitude
+        fs.consume(fa.packed & 0x0F);
+        if (fa.run == 17) return OK;  // EOB
+        k += 16;                      // ZRL
+        if (k >= 64) return OK;
+        continue;
+      }
+      {
+        const int32_t k1 = k + fa.run;
+        if (__builtin_expect(k1 >= 63, 0)) {
+          // Block-terminal (or out-of-range): a recorded pair must
+          // single-ify — its second symbol belongs to the NEXT block.
+          if (k1 > 63) return ERR_AC_RANGE;
+          fs.consume(fa.packed & 0x0F);
+          out[kZigzag[63]] = fa.value;
+          return OK;
+        }
+        // Branchless single/pair (singles: run2enc == 0, val2 == 0,
+        // bits2 == t1 — the second store writes a benign 0 at k1+1).
+        fs.consume(fa.bits2);
+        out[kZigzag[k1]] = fa.value;
+        const int32_t r2 = fa.run2enc;
+        const int32_t k2 = k1 + 1 + (r2 & 15);
+        if (k2 > 63) return ERR_AC_RANGE;  // only real pairs can trigger
+        out[kZigzag[k2]] = fa.val2;
+        k = k2 + ((r2 >> 4) & 1);
+        if (r2 & 32) return OK;  // coefficient-then-EOB pair
+        if (k >= 64) return OK;
+      }
     }
-    k += run;
-    if (k > 63) return ERR_AC_RANGE;
-    // >= 56 - 12 - 16 = 28 bits remain; magnitude <= 10 fits.
-    out[kZigzag[k]] = static_cast<int16_t>(extend_signed(fs.take(size), size));
-    ++k;
+    continue;
+
+  slow:
+    {
+      int32_t sym;
+      int32_t rc = decode_symbol_fs(fs, ac, &sym);
+      if (rc != OK) return rc;
+      if (sym == 0x00) return OK;  // EOB
+      int32_t run = sym >> 4;
+      int32_t size = sym & 0x0F;
+      if (size == 0) {
+        if (sym != 0xF0) return ERR_BAD_AC_SYMBOL;
+        k += 16;  // ZRL
+        continue;
+      }
+      k += run;
+      if (k > 63) return ERR_AC_RANGE;
+      // >= 56 - 24 - 16 = 16 bits remain; magnitude <= 10 fits.
+      out[kZigzag[k]] =
+          static_cast<int16_t>(extend_signed(fs.take(size), size));
+      ++k;
+    }
   }
   return OK;
 }
