@@ -279,6 +279,18 @@ def decode_same_size_batch_crops(
     All images must share dimensions and sampling mode (as in
     :func:`decode_same_size_batch`).
     """
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
+    staged = _host_stage_crops(blobs, boxes, crop_hw, lane_tile, scale,
+                               prepare_threads, wire,
+                               "decode_same_size_batch_crops")
+    return _dispatch_staged_crops(staged, lane_tile, scale)
+
+
+def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
+                      prepare_threads: int, wire: str, caller: str):
+    """Host half of a crop-batch decode (validation + scan + entropy +
+    per-crop sub-grid staging + wire compaction).  No JAX calls."""
     _check_wire(wire)
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
@@ -297,10 +309,7 @@ def decode_same_size_batch_crops(
                 f"crop origins and dims must be multiples of scale="
                 f"{scale} (got dims {crop_hw}, offending origins "
                 f"{bad[:3]})")
-    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
-    ensure_compilation_cache()
-    headers, h0, mode = _scan_same_size(blobs,
-                                        "decode_same_size_batch_crops")
+    headers, h0, mode = _scan_same_size(blobs, caller)
     for y0, x0 in boxes:
         if not (0 <= y0 and 0 <= x0 and y0 + crop_h <= h0.height
                 and x0 + crop_w <= h0.width):
@@ -337,8 +346,14 @@ def decode_same_size_batch_crops(
         coeffs[i * per_img:(i + 1) * per_img] = sub
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
-
     coeffs = _maybe_compact(coeffs, wire)
+    return (headers, mode, coeffs, qidx, qpool, oys, oxs, batch, gh_c,
+            gw_c, crop_h, crop_w)
+
+
+def _dispatch_staged_crops(staged, lane_tile: int, scale: int):
+    (headers, mode, coeffs, qidx, qpool, oys, oxs, batch, gh_c, gw_c,
+     crop_h, crop_w) = staged
     out = _decode_batch_crops_jit(
         jnp.asarray(coeffs), jnp.asarray(qidx),
         jnp.asarray(qpool, jnp.float32),
@@ -347,3 +362,54 @@ def decode_same_size_batch_crops(
         batch=batch, gh=gh_c, gw=gw_c, crop_h=crop_h, crop_w=crop_w,
         scale=scale)
     return out, headers
+
+
+def iter_decode_batch_crops(
+    crop_batches,
+    crop_hw: Tuple[int, int],
+    lane_tile: int = LANE_TILE,
+    scale: int = 1,
+    prepare_threads: int = 4,
+    wire: str = "auto",
+    prefetch: int = 2,
+):
+    """Streaming random-crop decode with host/device overlap.
+
+    ``crop_batches`` yields ``(blobs, boxes)`` pairs; each yields exactly
+    what :func:`decode_same_size_batch_crops` returns for that batch,
+    while the host half of up to ``prefetch`` upcoming batches runs on
+    worker threads — :func:`iter_decode_batches`'s overlap for the
+    RandomResizedCrop training path (fixed ``crop_hw``/``scale`` keep one
+    compiled program across batches).
+    """
+    if prefetch < 1:
+        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
+
+    it = iter(crop_batches)
+    with ThreadPoolExecutor(prefetch,
+                            thread_name_prefix="pjt-prefetch") as pool:
+        pending = deque()
+
+        def submit_next() -> bool:
+            try:
+                blobs, boxes = next(it)
+            except StopIteration:
+                return False
+            pending.append(pool.submit(
+                _host_stage_crops, list(blobs), list(boxes), crop_hw,
+                lane_tile, scale, prepare_threads, wire,
+                "iter_decode_batch_crops"))
+            return True
+
+        for _ in range(prefetch):
+            if not submit_next():
+                break
+        while pending:
+            staged = pending.popleft().result()
+            submit_next()
+            yield _dispatch_staged_crops(staged, lane_tile, scale)

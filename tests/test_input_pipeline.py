@@ -230,3 +230,40 @@ class TestIterDecodeBatches:
 
         with pytest.raises(ValueError, match="empty batch"):
             list(iter_decode_batches([[]]))
+
+
+class TestIterDecodeBatchCrops:
+    def test_matches_serial_crops(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+            iter_decode_batch_crops,
+        )
+
+        blobs = [encode_jpeg(np.roll(photo_image, 3 * i, axis=0),
+                             quality=82, sampling="4:2:0")
+                 for i in range(2)]
+        crop_hw = (48, 64)
+        batches = [
+            (blobs, [(0, 0), (17, 33)]),
+            (blobs, [(40, 80), (5, 9)]),
+        ]
+        streamed = list(iter_decode_batch_crops(batches, crop_hw,
+                                                lane_tile=128))
+        assert len(streamed) == 2
+        for (bl, boxes), (out, _) in zip(batches, streamed):
+            want, _ = decode_same_size_batch_crops(bl, boxes, crop_hw,
+                                                   lane_tile=128)
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(want))
+
+    def test_invalid_crop_propagates(self, photo_image):
+        from pim_jpeg_decoder_tpu.codec.header import JpegError  # noqa: F401
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batch_crops,
+        )
+
+        blob = encode_jpeg(photo_image, quality=82, sampling="4:2:0")
+        it = iter_decode_batch_crops(
+            [([blob], [(10_000, 0)])], (32, 32), lane_tile=128)
+        with pytest.raises(ValueError, match="outside"):
+            next(it)
