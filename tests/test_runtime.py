@@ -294,3 +294,20 @@ def test_engine_records_launch_stats(photo_image):
     # print_profile with device phases must be a no-op on CPU (no crash,
     # no bogus interpret-mode numbers).
     report.print_profile(device_phases="cached")
+
+
+def test_engine_reports_init_line(photo_image, capsys):
+    """The per-run init line (trace+compile attribution from per-geometry
+    dispatch timings — the reference's initialization counter analogue)
+    is always present when launches happened."""
+    data = encode_jpeg(photo_image, quality=80, sampling="4:2:0")
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=1)
+    engine = DecodeEngine(config=cfg)
+    report = engine.decode_named_blobs([("a", data), ("b", data)])
+    assert report.dispatch_times
+    assert (sum(len(v) for v in report.dispatch_times.values())
+            == sum(report.launch_stats.values()))
+    report.print_profile()
+    out = capsys.readouterr().out
+    assert "Device program init (trace+compile," in out
