@@ -14,13 +14,21 @@ A from-scratch rebuild of the capabilities of the UPMEM-PIM JPEG decoder
 - 24bpp bottom-up BMP output bit-exact against the NumPy oracle decoder.
 
 Top-level API (lazy so that pure-CPU users don't pay the JAX import):
-``TpuJpegDecoder``, ``decode_file``, ``decode_bytes``, ``decode_region``, ``decode_scaled``.
+``TpuJpegDecoder``, ``decode_file``, ``decode_bytes``, ``decode_region``,
+``decode_scaled``; batch/streaming (models.input_pipeline re-exports):
+``decode_same_size_batch``, ``decode_same_size_batch_crops``,
+``iter_decode_batches``, ``iter_decode_batch_crops``.
 """
 
 from pim_jpeg_decoder_tpu.version import __version__
 
 __all__ = ["__version__", "TpuJpegDecoder", "decode_file", "decode_bytes",
-           "decode_region", "decode_scaled"]
+           "decode_region", "decode_scaled", "decode_same_size_batch",
+           "decode_same_size_batch_crops", "iter_decode_batches",
+           "iter_decode_batch_crops"]
+
+_BATCH_API = ("decode_same_size_batch", "decode_same_size_batch_crops",
+              "iter_decode_batches", "iter_decode_batch_crops")
 
 
 def __getattr__(name):
@@ -28,4 +36,7 @@ def __getattr__(name):
                 "decode_region", "decode_scaled"):
         from pim_jpeg_decoder_tpu.models import pipeline
         return getattr(pipeline, name)
+    if name in _BATCH_API:
+        from pim_jpeg_decoder_tpu.models import input_pipeline
+        return getattr(input_pipeline, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
