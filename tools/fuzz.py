@@ -123,9 +123,42 @@ def main() -> None:
 
     t0 = time.monotonic()
     stats = {"valid": 0, "mismatch": 0, "corrupt_ok": 0,
-             "corrupt_decoded": 0, "failures": []}
+             "corrupt_decoded": 0, "stream_batches": 0, "failures": []}
     batch = []
+
+    def stream_check() -> None:
+        """Property 3 (streaming API): iter_decode_batches over random
+        same-size batches must equal serial decode_same_size_batch."""
+        from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch,
+            iter_decode_batches,
+        )
+
+        hh = int(rng.integers(16, 96))
+        ww = int(rng.integers(16, 96))
+        sampling = str(rng.choice(SAMPLINGS))
+        batches = []
+        for _ in range(int(rng.integers(2, 4))):
+            imgs = [rng.integers(0, 256, (hh, ww, 3), np.uint8)
+                    for _ in range(int(rng.integers(1, 4)))]
+            batches.append([encode_jpeg(im, quality=int(rng.integers(50, 95)),
+                                        sampling=sampling) for im in imgs])
+        streamed = list(iter_decode_batches(
+            batches, lane_tile=128,
+            prefetch=int(rng.integers(1, 4))))
+        assert len(streamed) == len(batches)
+        for blobs_b, (out, _) in zip(batches, streamed):
+            want, _ = decode_same_size_batch(blobs_b, lane_tile=128)
+            if not np.array_equal(np.asarray(out), np.asarray(want)):
+                stats["mismatch"] += 1
+                stats["failures"].append(("stream", "streamed != serial"))
+                return
+        stats["stream_batches"] += len(batches)
+
     for i in range(iters):
+        if rng.random() < 0.02:
+            stream_check()
         name, data = random_jpeg(rng)
         mode = rng.random()
         if mode < 0.7:
