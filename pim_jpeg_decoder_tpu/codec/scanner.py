@@ -29,6 +29,7 @@ progressive, reference: src/jpeg_scanner.cpp:425-430).
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -280,6 +281,26 @@ def _skip_segment(cur: _Cursor) -> None:
 
 def _scan_entropy(data: bytes, pos: int,
                   stop_at_marker: bool = False) -> Tuple[bytes, Tuple[int, ...], int]:
+    """De-stuff the entropy-coded segment starting at `pos`.
+
+    Native C++ fast path when available (binding.destuff_cpp; the
+    reference's scan is C++ too, reference: src/jpeg_scanner.cpp:405-433);
+    the pure-Python implementation below is the semantic reference and
+    fallback — both are differentially tested byte-for-byte.
+    """
+    if os.environ.get("PIM_JPEG_TPU_NO_NATIVE") != "1":
+        try:
+            from pim_jpeg_decoder_tpu.native.binding import destuff_cpp
+            res = destuff_cpp(data, pos, stop_at_marker)
+            if res is not None:
+                return res
+        except ImportError:
+            pass
+    return _scan_entropy_py(data, pos, stop_at_marker)
+
+
+def _scan_entropy_py(data: bytes, pos: int,
+                     stop_at_marker: bool = False) -> Tuple[bytes, Tuple[int, ...], int]:
     """De-stuff the entropy-coded segment starting at `pos`.
 
     Returns (destuffed_bytes, restart_segment_offsets, end_pos) where

@@ -75,8 +75,9 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_decode_progressive_image.restype = ctypes.c_int32
             lib.pjt_progressive_assemble.restype = ctypes.c_int32
             lib.pjt_ycbcr_to_rgb.restype = ctypes.c_int32
+            lib.pjt_destuff.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 6:
+            if lib.pjt_abi_version() != 7:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -300,6 +301,55 @@ def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
     if rc != 0:
         msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
         raise JpegError(f"{msg} (unit {err_unit.value})")
+
+
+def destuff_cpp(data: bytes, pos: int, stop_at_marker: bool):
+    """Native de-stuff of one entropy-coded segment.
+
+    Returns ``(destuffed_bytes, offsets_tuple, end_pos)`` with semantics
+    identical to ``codec.scanner._scan_entropy``'s pure-Python path
+    (differentially tested), or raises JpegError with the same messages.
+    Returns None when the native library is unavailable (caller falls
+    back to Python).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    n = buf.size
+    out = np.empty(max(0, n - pos), np.uint8)
+    # Tight restart-segment bound: one per RSTn pair, + 1 for the start.
+    tail = buf[pos:]
+    max_segs = int(np.count_nonzero(
+        (tail[:-1] == 0xFF) & ((tail[1:] & 0xF8) == 0xD0))) + 1 if n - pos > 1 else 1
+    seg = np.empty(max_segs, np.int64)
+    out_len = ctypes.c_int64(0)
+    n_segs = ctypes.c_int32(0)
+    end_pos = ctypes.c_int64(0)
+    term = ctypes.c_int32(0)
+    rc = lib.pjt_destuff(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int64(pos),
+        ctypes.c_int32(1 if stop_at_marker else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(out_len),
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(max_segs), ctypes.byref(n_segs),
+        ctypes.byref(end_pos), ctypes.byref(term))
+    if rc == -2:  # out of data
+        if term.value == 0:
+            raise JpegError("Unexpected end of JPEG inside entropy-coded data")
+        raise JpegError("Unexpected end of JPEG: no EOI marker")
+    if rc == -1:  # invalid marker mid-scan
+        from pim_jpeg_decoder_tpu.codec import markers as M
+        raise JpegError(
+            f"Invalid marker {M.marker_name(0xFF00 | term.value)} inside "
+            "entropy-coded data (multi-scan streams not supported)")
+    if rc != 0:
+        raise RuntimeError(f"pjt_destuff failed: {rc}")
+    return (out[: out_len.value].tobytes(),
+            tuple(int(x) for x in seg[: n_segs.value]),
+            int(end_pos.value))
 
 
 def decode_progressive_image_cpp(header) -> np.ndarray:

@@ -1449,6 +1449,80 @@ int32_t pjt_decode_scan(
       out, err_mcu);
 }
 
+// De-stuff one entropy-coded segment (native fast path for
+// codec/scanner._scan_entropy; semantics mirror the reference scan,
+// reference: src/jpeg_scanner.cpp:405-433): 0xFF 0x00 collapses to 0xFF,
+// RST0-7 markers are removed with the de-stuffed restart offsets
+// recorded, stray 0xFF fill bytes are tolerated, EOI terminates; any
+// other marker terminates with stop_at_marker (multi-scan progressive)
+// or is an error.
+//
+//   out        caller buffer, capacity >= data_len - pos
+//   seg_offsets caller buffer, capacity max_segs (first entry = 0)
+//   end_pos    just past EOI, or the position OF the terminating 0xFF
+//              with stop_at_marker
+//   term       0 = EOI consumed, 1 = stopped at marker (stop_at_marker),
+//              on ERR_BAD_CODE the offending marker byte
+// Returns OK, ERR_OUT_OF_DATA (truncated: *term 0 = inside data, 1 = no
+// EOI), ERR_BAD_CODE (invalid marker mid-scan; *term = marker byte), or
+// ERR_BAD_ARGS (segment offsets overflow — caller sized max_segs wrong).
+int32_t pjt_destuff(const uint8_t* data, int64_t data_len, int64_t pos,
+                    int32_t stop_at_marker,
+                    uint8_t* out, int64_t* out_len,
+                    int64_t* seg_offsets, int32_t max_segs,
+                    int32_t* n_segs, int64_t* end_pos, int32_t* term) {
+  int64_t o = 0;
+  int32_t segs = 0;
+  if (max_segs < 1) return ERR_BAD_ARGS;
+  seg_offsets[segs++] = 0;
+  int64_t p = pos;
+  while (p < data_len) {
+    const uint8_t b = data[p];
+    if (b != 0xFF) {
+      // Bulk-copy the run up to the next 0xFF (or end).
+      const uint8_t* ff = static_cast<const uint8_t*>(
+          memchr(data + p, 0xFF, static_cast<size_t>(data_len - p)));
+      const int64_t run_end = ff ? ff - data : data_len;
+      memcpy(out + o, data + p, static_cast<size_t>(run_end - p));
+      o += run_end - p;
+      p = run_end;
+      continue;
+    }
+    if (p + 1 >= data_len) {
+      *term = 0;
+      return ERR_OUT_OF_DATA;  // 0xFF at end of buffer
+    }
+    const uint8_t nxt = data[p + 1];
+    if (nxt == 0x00) {  // byte-stuffed 0xFF data byte
+      out[o++] = 0xFF;
+      p += 2;
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {  // RSTn: segment boundary
+      if (segs >= max_segs) return ERR_BAD_ARGS;
+      seg_offsets[segs++] = o;
+      p += 2;
+    } else if (nxt == 0xD9) {  // EOI
+      *out_len = o;
+      *n_segs = segs;
+      *end_pos = stop_at_marker ? p : p + 2;
+      *term = stop_at_marker ? 1 : 0;
+      return OK;
+    } else if (nxt == 0xFF) {  // fill byte; re-examine next 0xFF
+      p += 1;
+    } else if (stop_at_marker) {  // next scan's marker segment
+      *out_len = o;
+      *n_segs = segs;
+      *end_pos = p;
+      *term = 1;
+      return OK;
+    } else {
+      *term = nxt;
+      return ERR_BAD_CODE;
+    }
+  }
+  *term = 1;
+  return ERR_OUT_OF_DATA;  // no EOI marker
+}
+
 // ABI version tag so binding.py can invalidate stale cached builds.
 // --- YCbCr wire transport: fused upsample + BT.601 + raster ----------------
 // Consumes the device's wire-optimal output (level-shifted uint8 YCbCr
@@ -1526,6 +1600,6 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 6; }
+int32_t pjt_abi_version() { return 7; }
 
 }  // extern "C"

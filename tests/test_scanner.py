@@ -175,3 +175,53 @@ class TestEntropyScan:
     def test_truncated_ff(self):
         with pytest.raises(JpegError):
             _scan_entropy(b"\x11\x22\xff", 0)
+
+
+class TestNativeDestuff:
+    """The C++ de-stuff fast path is byte-identical (output, offsets,
+    end position, and error messages) to the pure-Python reference."""
+
+    def test_differential_adversarial(self):
+        import numpy as np
+
+        from pim_jpeg_decoder_tpu.codec.header import JpegError
+        from pim_jpeg_decoder_tpu.codec.scanner import _scan_entropy_py
+        from pim_jpeg_decoder_tpu.native.binding import destuff_cpp
+
+        if destuff_cpp(b"\xff\xd9", 0, False) is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(99)
+        for trial in range(800):
+            n = int(rng.integers(1, 120))
+            buf = rng.integers(0, 256, n, np.uint8)
+            for _ in range(int(rng.integers(0, 10))):
+                buf[rng.integers(0, n)] = 0xFF
+            for _ in range(int(rng.integers(0, 6))):
+                buf[rng.integers(0, n)] = int(rng.choice(
+                    [0x00, 0xD0, 0xD5, 0xD7, 0xD9, 0xC4, 0xFF]))
+            data = buf.tobytes()
+            for stop in (False, True):
+                r1 = e1 = r2 = e2 = None
+                try:
+                    r1 = _scan_entropy_py(data, 0, stop)
+                except JpegError as e:
+                    e1 = str(e)
+                try:
+                    r2 = destuff_cpp(data, 0, stop)
+                except JpegError as e:
+                    e2 = str(e)
+                assert r1 == r2 and e1 == e2, (trial, stop, data.hex())
+
+    def test_scan_jpeg_same_with_and_without_native(self, photo_image,
+                                                    monkeypatch):
+        from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+        from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+
+        data = encode_jpeg(photo_image, quality=80, sampling="4:2:0",
+                           restart_interval=3)
+        h_native = scan_jpeg(data)
+        monkeypatch.setenv("PIM_JPEG_TPU_NO_NATIVE", "1")
+        h_py = scan_jpeg(data)
+        assert h_native.entropy_bytes == h_py.entropy_bytes
+        assert h_native.segment_offsets == h_py.segment_offsets
