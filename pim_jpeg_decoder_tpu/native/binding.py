@@ -318,10 +318,15 @@ def destuff_cpp(data: bytes, pos: int, stop_at_marker: bool):
     buf = np.frombuffer(data, np.uint8)
     n = buf.size
     out = np.empty(max(0, n - pos), np.uint8)
-    # Tight restart-segment bound: one per RSTn pair, + 1 for the start.
-    tail = buf[pos:]
-    max_segs = int(np.count_nonzero(
-        (tail[:-1] == 0xFF) & ((tail[1:] & 0xF8) == 0xD0))) + 1 if n - pos > 1 else 1
+    # Restart-segment bound: every RSTn consumes 2 bytes, so (n-pos)//2+1
+    # always suffices.  For large files count the actual RSTn pairs
+    # instead (one vector pass) to keep the transient allocation small.
+    if n - pos > (1 << 20):
+        tail = buf[pos:]
+        max_segs = int(np.count_nonzero(
+            (tail[:-1] == 0xFF) & ((tail[1:] & 0xF8) == 0xD0))) + 1
+    else:
+        max_segs = max(1, (n - pos) // 2 + 1)
     seg = np.empty(max_segs, np.int64)
     out_len = ctypes.c_int64(0)
     n_segs = ctypes.c_int32(0)
