@@ -76,8 +76,9 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_progressive_assemble.restype = ctypes.c_int32
             lib.pjt_ycbcr_to_rgb.restype = ctypes.c_int32
             lib.pjt_destuff.restype = ctypes.c_int32
+            lib.pjt_compact_wire.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 7:
+            if lib.pjt_abi_version() != 8:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -301,6 +302,26 @@ def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
     if rc != 0:
         msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
         raise JpegError(f"{msg} (unit {err_unit.value})")
+
+
+def compact_wire_cpp(coeffs: np.ndarray):
+    """Fused range-check + int8 narrowing of a coefficient array.
+
+    Returns the int8 array when every value fits, the ORIGINAL array when
+    some value does not (caller keeps the int16 wire), or None when the
+    native library is unavailable.  Semantics identical to the NumPy path
+    in runtime/batching.compact_wire.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(coeffs)
+    out = np.empty(flat.shape, np.int8)
+    ok = lib.pjt_compact_wire(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(flat.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out if ok else coeffs
 
 
 def destuff_cpp(data: bytes, pos: int, stop_at_marker: bool):

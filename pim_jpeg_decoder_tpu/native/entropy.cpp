@@ -1523,6 +1523,30 @@ int32_t pjt_destuff(const uint8_t* data, int64_t data_len, int64_t pos,
   return ERR_OUT_OF_DATA;  // no EOI marker
 }
 
+// Fused int16 -> int8 coefficient-wire compaction (native fast path for
+// runtime/batching.compact_wire): ONE chunked pass checks the range and
+// narrows, vs NumPy's min + max + astype (three full-array passes plus
+// temporaries).  Returns 1 with `out` filled when every value fits int8,
+// 0 otherwise (caller keeps the int16 wire).
+int32_t pjt_compact_wire(const int16_t* in, int64_t n, int8_t* out) {
+  constexpr int64_t kChunk = 4096;  // L1-resident: narrow reads hot data
+  for (int64_t i = 0; i < n; i += kChunk) {
+    const int64_t e = i + kChunk < n ? i + kChunk : n;
+    int16_t lo = 0;
+    int16_t hi = 0;
+    for (int64_t j = i; j < e; ++j) {  // auto-vectorizes (pminsw/pmaxsw)
+      const int16_t v = in[j];
+      lo = v < lo ? v : lo;
+      hi = v > hi ? v : hi;
+    }
+    if (lo < -128 || hi > 127) return 0;
+    for (int64_t j = i; j < e; ++j) {  // auto-vectorizes (packsswb-style)
+      out[j] = static_cast<int8_t>(in[j]);
+    }
+  }
+  return 1;
+}
+
 // ABI version tag so binding.py can invalidate stale cached builds.
 // --- YCbCr wire transport: fused upsample + BT.601 + raster ----------------
 // Consumes the device's wire-optimal output (level-shifted uint8 YCbCr
@@ -1600,6 +1624,6 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 7; }
+int32_t pjt_abi_version() { return 8; }
 
 }  // extern "C"

@@ -46,8 +46,19 @@ def compact_wire(coeffs: np.ndarray) -> np.ndarray:
     [g,64,M] transpose it performs anyway, so per-value exactness is
     unconditional and device work does not grow (see EngineConfig.wire).
     """
-    if (coeffs.dtype == np.int16 and coeffs.size
-            and coeffs.min() >= -128 and coeffs.max() <= 127):
+    if coeffs.dtype != np.int16 or not coeffs.size:
+        return coeffs
+    if os.environ.get("PIM_JPEG_TPU_NO_NATIVE") != "1":
+        # Native fused pass (range check + narrow in one sweep) vs
+        # NumPy's min/max/astype triple pass; identical result.
+        try:
+            from pim_jpeg_decoder_tpu.native.binding import compact_wire_cpp
+            out = compact_wire_cpp(coeffs)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
+    if coeffs.min() >= -128 and coeffs.max() <= 127:
         return coeffs.astype(np.int8)
     return coeffs
 
