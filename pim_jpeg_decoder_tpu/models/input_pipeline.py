@@ -105,8 +105,17 @@ def _host_stage(blobs: Sequence[bytes], lane_tile: int, scale: int,
 
     coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
     qidx = np.zeros(m_pad, np.int32)
-    for i, c in enumerate(_entropy_decode_pool(headers, prepare_threads)):
-        coeffs[i * per_img:(i + 1) * per_img] = c
+    # Decode straight into the transport buffer's per-image slices (the
+    # native decoder takes a caller-zeroed destination), skipping one
+    # full-batch copy.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max(1, min(prepare_threads,
+                                       len(headers)))) as pool:
+        list(pool.map(
+            lambda ih: entropy_decode(
+                ih[1], out=coeffs[ih[0] * per_img:(ih[0] + 1) * per_img]),
+            enumerate(headers)))
+    for i in range(batch):
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
     coeffs = _maybe_compact(coeffs, wire)

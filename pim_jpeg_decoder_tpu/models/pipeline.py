@@ -34,18 +34,24 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 )
 
 
-def entropy_decode(header: JpegHeader) -> np.ndarray:
+def entropy_decode(header: JpegHeader, out=None) -> np.ndarray:
     """Entropy-decode via the native C++ fast path, NumPy fallback.
 
     Progressive frames route through the multi-scan successive-approximation
     decoder; both paths emit ``[num_mcus, g, 64]`` int16 natural-order
-    coefficients, so the device pipeline is shared.
+    coefficients, so the device pipeline is shared.  ``out`` (optional,
+    caller-zeroed) receives the coefficients in place — the ML batch path
+    passes transport-buffer slices to skip a copy.
     """
     if header.progressive:
         from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
-        return decode_progressive(header)
+        coeffs = decode_progressive(header)
+        if out is not None:
+            out[...] = coeffs
+            return out
+        return coeffs
     from pim_jpeg_decoder_tpu.native import decode_scan_native
-    return decode_scan_native(header)
+    return decode_scan_native(header, out=out)
 
 
 def build_qpool(headers: Sequence[JpegHeader], mode: S.ModeSpec) -> np.ndarray:

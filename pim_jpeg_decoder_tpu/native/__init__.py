@@ -28,13 +28,20 @@ def native_available() -> bool:
         return False
 
 
-def decode_scan_native(header: JpegHeader, threads: int = 1) -> np.ndarray:
+def decode_scan_native(header: JpegHeader, threads: int = 1,
+                       out=None) -> np.ndarray:
     """Entropy-decode a scan via C++ if available, else the Python path.
 
     ``threads > 1`` enables restart-segment-parallel decode for DRI images
     (independent bitstream entry points; SURVEY.md section 2 item 4).
+    ``out`` (optional, caller-zeroed ``[num_mcus, g, 64]`` int16) lets the
+    native path decode straight into a batch transport slice.
     """
     if native_available():
         from pim_jpeg_decoder_tpu.native import binding
-        return binding.decode_scan_cpp(header, threads=threads)
-    return decode_scan(header)
+        return binding.decode_scan_cpp(header, threads=threads, out=out)
+    coeffs = decode_scan(header)
+    if out is not None:
+        out[...] = coeffs
+        return out
+    return coeffs

@@ -125,13 +125,18 @@ def _segment_pool():
     return _pool
 
 
-def decode_scan_cpp(header: JpegHeader, threads: int = 1) -> np.ndarray:
+def decode_scan_cpp(header: JpegHeader, threads: int = 1,
+                    out: Optional[np.ndarray] = None) -> np.ndarray:
     """Entropy-decode via the C++ library; semantics match codec.entropy.
 
     With ``threads > 1`` and a restart interval present, disjoint restart-
     segment ranges decode concurrently (intra-image parallelism — the
     segment entry points the reference strips without exploiting,
     reference: src/jpeg_scanner.cpp:423).
+
+    ``out`` (optional) is a caller-ZEROED C-contiguous int16
+    ``[num_mcus, g, 64]`` destination — e.g. a slice of a batch transport
+    buffer, skipping one full copy on the ML input path.
     """
     lib = load()
     if lib is None:
@@ -152,7 +157,13 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1) -> np.ndarray:
     dc_counts, dc_symbols, ac_counts, ac_symbols = _stage_tables(header)
     data = np.frombuffer(header.entropy_bytes, np.uint8)
     seg_offsets = np.asarray(header.segment_offsets, np.int64)
-    out = np.zeros((num_mcus, g, 64), np.int16)
+    if out is None:
+        out = np.zeros((num_mcus, g, 64), np.int16)
+    else:
+        if (out.shape != (num_mcus, g, 64) or out.dtype != np.int16
+                or not out.flags.c_contiguous):
+            raise ValueError(
+                f"out must be C-contiguous int16 {(num_mcus, g, 64)}")
 
     def ptr(arr, ctype):
         return arr.ctypes.data_as(ctypes.POINTER(ctype))
