@@ -117,3 +117,162 @@ class TestSegmentParallel:
         a = decode_scan_cpp(header, threads=16)
         np.testing.assert_array_equal(a, decode_scan(header))
 
+
+
+class TestRandomTableDifferential:
+    """Native vs Python entropy decode on RANDOM canonical Huffman tables
+    and garbage bitstreams.  Real encoders only emit near-standard tables;
+    this exercises the degenerate shapes (1-bit codes, deep 16-bit codes,
+    wide magnitudes, sparse/empty tables) that the fast-path LUTs — the
+    fused DC table and the pair extension in particular — must still
+    decode byte-identically (including WHICH error fires)."""
+
+    @staticmethod
+    def _complete_huffman(rng, table_class, table_id):
+        """COMPLETE canonical code via random binary-tree splitting: every
+        bit pattern decodes to some symbol, so garbage streams decode
+        fully (no BAD_CODE) and the success-path comparison gets dense
+        coverage."""
+        import numpy as np
+
+        from pim_jpeg_decoder_tpu.codec.header import HuffmanTableSpec
+
+        depths = [1, 1]
+        target = int(rng.integers(4, 40))
+        while len(depths) < target:
+            i = int(rng.integers(0, len(depths)))
+            if depths[i] >= 16:
+                continue
+            d = depths.pop(i)
+            depths += [d + 1, d + 1]
+        counts = np.zeros(16, np.uint8)
+        for d in depths:
+            counts[d - 1] += 1
+        total = len(depths)
+        if table_class == 0:
+            syms = rng.integers(0, 9, total).astype(np.uint8)  # sizes 0..8
+        else:
+            runs = rng.integers(0, 3, total)
+            sizes = rng.integers(1, 5, total)
+            syms = (runs << 4 | sizes).astype(np.uint8)
+            for j in range(total):  # dense EOBs end most blocks early
+                if rng.random() < 0.2:
+                    syms[j] = 0x00
+        return HuffmanTableSpec(table_id, table_class, counts, syms)
+
+    @staticmethod
+    def _random_huffman(rng, table_class, table_id):
+        import numpy as np
+
+        from pim_jpeg_decoder_tpu.codec.header import HuffmanTableSpec
+
+        counts = np.zeros(16, np.uint8)
+        code = 0
+        total = 0
+        for l in range(1, 17):
+            cap = (1 << l) - code
+            if cap <= 0 or total >= 162:
+                n = 0
+            else:
+                # Bias toward short codes (incl. 1-bit) so the pair paths
+                # and extreme |val2| magnitudes get real coverage.
+                n = int(rng.choice([0, 0, 1, 1, 2, 3, cap % 7]))
+                n = max(0, min(n, cap - (1 if l < 16 else 0), 162 - total))
+            counts[l - 1] = n
+            total += n
+            code = (code + n) << 1
+        if total == 0:
+            counts[0] = 1
+            total = 1
+        if table_class == 0:  # DC: sizes 0..11 valid; sprinkle invalid
+            syms = rng.integers(0, 12, total).astype(np.uint8)
+            if rng.random() < 0.1:
+                syms[rng.integers(0, total)] = rng.integers(12, 16)
+        else:  # AC: favor small run/size (pair-able), mix in wide + EOB/ZRL
+            runs = rng.integers(0, 16, total)
+            sizes = rng.choice([1, 1, 1, 2, 2, 3, 4, 9, 10],
+                               total)
+            syms = (runs << 4 | sizes).astype(np.uint8)
+            for j in range(total):
+                r = rng.random()
+                if r < 0.08:
+                    syms[j] = 0x00  # EOB
+                elif r < 0.12:
+                    syms[j] = 0xF0  # ZRL
+                elif r < 0.14:
+                    syms[j] = int(rng.integers(1, 15)) << 4  # EOBn: invalid
+        return HuffmanTableSpec(table_id, table_class, counts, syms)
+
+    def test_random_tables_and_streams(self):
+        import numpy as np
+
+        from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
+        from pim_jpeg_decoder_tpu.codec.header import (
+            Component,
+            JpegError,
+            JpegHeader,
+        )
+        from pim_jpeg_decoder_tpu.native import native_available
+        from pim_jpeg_decoder_tpu.native.binding import decode_scan_cpp
+
+        if not native_available():
+            import pytest
+            pytest.skip("native library unavailable")
+
+        rng = np.random.default_rng(31337)
+        agree = 0
+        for trial in range(220):
+            safe = rng.random() < 0.6
+            gray = rng.random() < 0.4
+            if gray:
+                comps = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
+            else:
+                v, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+                comps = [Component(0, h, v, 0, dc_id=0, ac_id=0),
+                         Component(1, 1, 1, 0, dc_id=1, ac_id=1),
+                         Component(2, 1, 1, 0, dc_id=1, ac_id=1)]
+            header = JpegHeader(
+                width=int(rng.integers(8, 64)),
+                height=int(rng.integers(8, 48)),
+                components=comps,
+                dc_tables={i: (self._complete_huffman if safe
+                               else self._random_huffman)(rng, 0, i)
+                           for i in range(2)},
+                ac_tables={i: (self._complete_huffman if safe
+                               else self._random_huffman)(rng, 1, i)
+                           for i in range(2)},
+                restart_interval=int(rng.choice([0, 0, 0, 2, 5])),
+            )
+            n = int(rng.integers(16, 400))
+            payload = rng.integers(0, 256, n, np.uint8)
+            if rng.random() < 0.3:
+                payload[rng.random(n) < 0.5] = 0  # zero-heavy: long decodes
+            header.entropy_bytes = payload.tobytes()
+            if header.restart_interval:
+                segs = -(-header.num_mcus // header.restart_interval)
+                offs = sorted(int(x) for x in rng.integers(0, n, segs - 1))
+                header.segment_offsets = tuple([0] + offs)
+            else:
+                header.segment_offsets = (0,)
+
+            r_py = e_py = r_cc = e_cc = None
+            try:
+                r_py = decode_scan(header)
+            except JpegError as e:
+                e_py = str(e)
+            try:
+                r_cc = decode_scan_cpp(header)
+            except JpegError as e:
+                e_cc = str(e)
+
+            if e_py is None and e_cc is None:
+                np.testing.assert_array_equal(
+                    r_py, r_cc, err_msg=f"trial {trial}")
+                agree += 1
+            else:
+                assert e_py is not None and e_cc is not None, (
+                    f"trial {trial}: one path errored, the other decoded: "
+                    f"py={e_py!r} cpp={e_cc!r}")
+        # Garbage streams mostly error, but a healthy fraction must fully
+        # decode for the comparison to mean anything.
+        assert agree >= 30, f"only {agree} successful decodes compared"
