@@ -190,3 +190,76 @@ class TestProgressiveNative:
         from pim_jpeg_decoder_tpu.codec.header import JpegError
         with pytest.raises(JpegError):
             decode_progressive(header, use_native=True)
+
+
+class TestRandomTableProgressiveDifferential:
+    """Native vs Python progressive decode on random tables and garbage
+    scan payloads — dense coverage for the refine fast path (nonzero
+    bitmask + run skipping) on table shapes real encoders never emit."""
+
+    def test_random_progressive_scans(self):
+        from pim_jpeg_decoder_tpu.codec.header import (
+            Component,
+            JpegError,
+            JpegHeader,
+            ScanData,
+            ScanSpec,
+        )
+        from pim_jpeg_decoder_tpu.native import native_available
+        from tests.test_native import TestRandomTableDifferential as T
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+
+        rng = np.random.default_rng(424242)
+        agree = 0
+        for trial in range(200):
+            safe = rng.random() < 0.85
+            make = (T._complete_huffman if safe else T._random_huffman)
+            dc = make(rng, 0, 0)
+            ac = make(rng, 1, 0)
+            header = JpegHeader(
+                width=int(rng.integers(8, 48)),
+                height=int(rng.integers(8, 40)),
+                progressive=True,
+                components=[Component(0, 1, 1, 0, dc_id=0, ac_id=0)],
+                dc_tables={0: dc},
+                ac_tables={0: ac},
+            )
+
+            def payload():
+                n = int(rng.integers(8, 200))
+                return rng.integers(0, 256, n, np.uint8).tobytes()
+
+            se = int(rng.integers(1, 64))
+            al = int(rng.integers(0, 3))
+            scans = [
+                ScanData([0], [0], [0], ScanSpec(0, 0, 0, al + 1), 0,
+                         payload(), (0,), [dc], [None]),
+                ScanData([0], [0], [0], ScanSpec(0, 0, al + 1, al), 0,
+                         payload(), (0,), [dc], [None]),
+                ScanData([0], [0], [0], ScanSpec(1, se, 0, al), 0,
+                         payload(), (0,), [None], [ac]),
+                ScanData([0], [0], [0],
+                         ScanSpec(1, se, al, max(0, al - 1)), 0,
+                         payload(), (0,), [None], [ac]),
+            ]
+            header.scans = scans
+
+            r_py = e_py = r_cc = e_cc = None
+            try:
+                r_py = decode_progressive(header, use_native=False)
+            except JpegError as e:
+                e_py = str(e)
+            try:
+                r_cc = decode_progressive(header, use_native=True)
+            except JpegError as e:
+                e_cc = str(e)
+            if e_py is None and e_cc is None:
+                np.testing.assert_array_equal(r_py, r_cc,
+                                              err_msg=f"trial {trial}")
+                agree += 1
+            else:
+                assert e_py is not None and e_cc is not None, (
+                    f"trial {trial}: py={e_py!r} cpp={e_cc!r}")
+        assert agree >= 8, f"only {agree} successful decodes compared"
