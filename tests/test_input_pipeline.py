@@ -256,6 +256,24 @@ class TestIterDecodeBatchCrops:
             np.testing.assert_array_equal(np.asarray(out),
                                           np.asarray(want))
 
+    def test_matches_serial_crops_scaled(self, photo_image):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+            iter_decode_batch_crops,
+        )
+
+        blobs = [encode_jpeg(photo_image, quality=84, sampling="4:2:0")]
+        crop_hw = (64, 64)
+        batches = [(blobs, [(16, 32)]), (blobs, [(0, 0)])]
+        streamed = list(iter_decode_batch_crops(batches, crop_hw,
+                                                lane_tile=128, scale=2))
+        for (bl, boxes), (out, _) in zip(batches, streamed):
+            want, _ = decode_same_size_batch_crops(
+                bl, boxes, crop_hw, lane_tile=128, scale=2)
+            assert np.asarray(out).shape == (1, 32, 32, 3)
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(want))
+
     def test_invalid_crop_propagates(self, photo_image):
         from pim_jpeg_decoder_tpu.codec.header import JpegError  # noqa: F401
         from pim_jpeg_decoder_tpu.models.input_pipeline import (
