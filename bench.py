@@ -513,7 +513,87 @@ def check_bit_exact(blobs, variety, mixed, reduced: bool = False) -> dict:
             "failures": failures}
 
 
+def tunnel_alive(timeout_s: float = 150.0) -> bool:
+    """True when a small device round-trip completes within the timeout.
+
+    Run as a SUBPROCESS: a dead tunnel blocks inside the runtime's copy
+    call, which no in-process timeout can interrupt — the 2026-08-17
+    outage showed the transport can sit at ~0 MB/s for hours, and the
+    bench must emit its JSON line rather than hang at the first
+    device_put.
+    """
+    import subprocess
+    code = ("import numpy, jax; "
+            "numpy.asarray(jax.device_put(numpy.zeros(1 << 18, "
+            "numpy.uint8))); print('ok')")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return out.returncode == 0 and "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def check_bit_exact_cpu_subprocess() -> dict:
+    """Reduced bit-exact sweep on the CPU backend (interpret-mode kernels)
+    in a subprocess — the dead-tunnel fallback's correctness signal."""
+    import subprocess
+    code = (
+        "import sys, json; sys.path.insert(0, %r); import bench; "
+        "res = bench.check_bit_exact(bench.make_corpus()[:2], "
+        "bench.make_variety_corpus(), "
+        "bench.make_mixed_corpus(small_only=True), reduced=True); "
+        "print('BITEXACT ' + json.dumps(res))" % REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                             capture_output=True, text=True, timeout=900,
+                             env=env)
+        for line in out.stdout.splitlines():
+            if line.startswith("BITEXACT "):
+                return json.loads(line[len("BITEXACT "):])
+    except subprocess.TimeoutExpired:
+        pass
+    return {"ok": False, "images": 0, "checks": 0,
+            "failures": ["cpu-subprocess sweep failed"]}
+
+
+def main_host_only() -> None:
+    """Dead-tunnel fallback: host-side numbers + CPU-backend bit-exact
+    sweep, honestly labeled (never hang the driver's bench run)."""
+    blobs = make_corpus()
+    entropy_mps = bench_host_entropy(blobs)
+    progressive_mps = bench_progressive(blobs)
+    pil_mps = bench_pil(blobs)
+    exact = check_bit_exact_cpu_subprocess()
+    result = {
+        "metric": "JPEG decode throughput per chip (fused dequant+IDCT+color, device-resident)",
+        "value": 0.0,
+        "unit": "MP/s",
+        "vs_baseline": 0.0,
+        "tunnel_dead": True,
+        "note": ("device transport unreachable (round-trip probe timed "
+                 "out); host numbers + CPU-backend bit-exact sweep only"),
+        "host_entropy_mps": round(entropy_mps, 1),
+        "host_progressive_mps": round(progressive_mps, 1),
+        "pil_single_thread_mps": round(pil_mps, 1),
+        "bit_exact_vs_oracle": exact["ok"],
+        "bit_exact_images": exact["images"],
+        "bit_exact_checks": exact["checks"],
+        "corpus": "distinct-scenes-v3",
+        "corpus_images": len(blobs),
+    }
+    if exact.get("failures"):
+        result["bit_exact_failures"] = exact["failures"]
+    print(json.dumps(result))
+
+
 def main() -> None:
+    if not tunnel_alive():
+        main_host_only()
+        return
+
     blobs = make_corpus()
     variety = make_variety_corpus()
 
