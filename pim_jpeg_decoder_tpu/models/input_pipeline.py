@@ -34,15 +34,69 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 )
 
 
+def _norm_static(dtype, mean, std):
+    """Validate and canonicalize the fused-normalization options into a
+    hashable static spec ``(dtype, mean3, inv_std3)`` (None = raw uint8).
+
+    ``mean``/``std`` are per-channel (scalar or length-3) training-set
+    statistics in 0..255 pixel units; they require a floating ``dtype``.
+    The spec is a static jit argument, so each distinct (dtype, mean, std)
+    triple compiles once — normalization constants are per-dataset
+    constants, not per-batch data.
+    """
+    if dtype is None:
+        if mean is not None or std is not None:
+            raise ValueError("mean/std require dtype (a floating type)")
+        return None
+    dtype = jnp.dtype(dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        raise ValueError(f"dtype must be floating, got {dtype}")
+
+    def chan3(v, name):
+        if v is None:
+            return None
+        arr = np.asarray(v, np.float32).reshape(-1)
+        if arr.size == 1:
+            arr = np.repeat(arr, 3)
+        if arr.size != 3:
+            raise ValueError(f"{name} must be scalar or length-3, got "
+                             f"{np.asarray(v).shape}")
+        return tuple(float(x) for x in arr)
+
+    mean3 = chan3(mean, "mean")
+    std3 = chan3(std, "std")
+    if std3 is not None:
+        if any(s == 0.0 for s in std3):
+            raise ValueError("std must be nonzero")
+        std3 = tuple(1.0 / s for s in std3)  # multiply beats divide on VPU
+    return (dtype, mean3, std3)
+
+
+def _apply_norm(img, norm):
+    """Fused uint8 -> normalized-float epilogue: compute in float32
+    (exact for 0..255 inputs), cast to the requested dtype last.  Runs
+    inside the decode jit, so XLA fuses it into the raster relayout —
+    no extra HBM pass vs normalizing in user code outside the jit."""
+    if norm is None:
+        return img
+    dtype, mean3, inv_std3 = norm
+    x = img.astype(jnp.float32)
+    if mean3 is not None:
+        x = x - jnp.asarray(mean3, jnp.float32)
+    if inv_std3 is not None:
+        x = x * jnp.asarray(inv_std3, jnp.float32)
+    return x.astype(dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
-                     "height", "width", "scale"),
+                     "height", "width", "scale", "norm"),
 )
 def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
                       lane_tile: int, interpret: bool, batch: int,
                       gh: int, gw: int, height: int, width: int,
-                      scale: int = 1):
+                      scale: int = 1, norm=None):
     raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
                            lane_tile=lane_tile, interpret=interpret,
                            raw=True, scale=scale)
@@ -56,7 +110,7 @@ def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
     img = img.reshape(3, v, h, n, n, batch, gh, gw)
     img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
     img = img.reshape(batch, gh * v * n, gw * h * n, 3)
-    return img[:, :height, :width, :]
+    return _apply_norm(img[:, :height, :width, :], norm)
 
 
 def _scan_same_size(blobs: Sequence[bytes], caller: str):
@@ -122,7 +176,7 @@ def _host_stage(blobs: Sequence[bytes], lane_tile: int, scale: int,
     return headers, h0, mode, coeffs, qidx, qpool, batch
 
 
-def _dispatch_staged(staged, lane_tile: int, scale: int):
+def _dispatch_staged(staged, lane_tile: int, scale: int, norm=None):
     """Device half: H2D + fused kernel + raster relayout (async)."""
     headers, h0, mode, coeffs, qidx, qpool, batch = staged
     out = _decode_batch_jit(
@@ -131,7 +185,7 @@ def _dispatch_staged(staged, lane_tile: int, scale: int):
         mode=mode, lane_tile=lane_tile, interpret=_interpret(),
         batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
         height=-(-h0.height // scale), width=-(-h0.width // scale),
-        scale=scale)
+        scale=scale, norm=norm)
     return out, headers
 
 
@@ -141,17 +195,29 @@ def decode_same_size_batch(
     scale: int = 1,
     prepare_threads: int = 4,
     wire: str = "auto",
+    dtype=None,
+    mean=None,
+    std=None,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
 
     All images must share dimensions and sampling mode.  Returns the device
-    array (uint8, still on chip — feed it straight into augmentation or a
-    model) and the parsed headers.  ``scale`` in {1, 2, 4, 8} decodes at
-    reduced resolution (H and W become ceil(dim/scale)) via the reduced
-    IDCT — ~scale^2 less device work for pipelines that downsize anyway.
-    ``wire="auto"`` ships coefficients as int8 when the whole batch fits
-    (half the H2D bytes; widened exactly on device — see
-    runtime.batching.compact_wire); "i16" disables the compaction.
+    array (uint8 by default, still on chip — feed it straight into
+    augmentation or a model) and the parsed headers.  ``scale`` in
+    {1, 2, 4, 8} decodes at reduced resolution (H and W become
+    ceil(dim/scale)) via the reduced IDCT — ~scale^2 less device work for
+    pipelines that downsize anyway.  ``wire="auto"`` ships coefficients as
+    int8 when the whole batch fits (half the H2D bytes; widened exactly on
+    device — see runtime.batching.compact_wire); "i16" disables the
+    compaction.
+
+    ``dtype`` (a floating type, e.g. ``jnp.bfloat16``) with optional
+    per-channel ``mean``/``std`` (0..255 pixel units) fuses the standard
+    training input transform ``(pixels - mean) / std`` into the decode
+    program: computed in float32, cast to ``dtype`` last, and fused by XLA
+    into the raster relayout, so the normalized batch costs no extra HBM
+    pass (normalizing in user code outside the jit reads and writes the
+    batch once more).  Each distinct (dtype, mean, std) compiles once.
 
     For back-to-back batches use :func:`iter_decode_batches`, which
     overlaps the host half of batch N+1 with device decode of batch N.
@@ -159,13 +225,14 @@ def decode_same_size_batch(
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     _check_wire(wire)
+    norm = _norm_static(dtype, mean, std)
     if not blobs:
         raise ValueError("empty batch")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
     staged = _host_stage(blobs, lane_tile, scale, prepare_threads, wire,
                          "decode_same_size_batch")
-    return _dispatch_staged(staged, lane_tile, scale)
+    return _dispatch_staged(staged, lane_tile, scale, norm)
 
 
 def iter_decode_batches(
@@ -175,6 +242,9 @@ def iter_decode_batches(
     prepare_threads: int = 4,
     wire: str = "auto",
     prefetch: int = 2,
+    dtype=None,
+    mean=None,
+    std=None,
 ):
     """Streaming same-size batch decode with host/device overlap.
 
@@ -192,11 +262,13 @@ def iter_decode_batches(
     ``blob_batches`` is any iterable of same-size blob sequences (batches
     may differ in size/mode from each other; each batch must be internally
     uniform).  Worker threads run only host code; all JAX dispatch happens
-    on the consuming thread.
+    on the consuming thread.  ``dtype``/``mean``/``std`` fuse normalization
+    into the decode program (see :func:`decode_same_size_batch`).
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     _check_wire(wire)
+    norm = _norm_static(dtype, mean, std)
     if prefetch < 1:
         raise ValueError(f"prefetch must be >= 1, got {prefetch}")
     from collections import deque
@@ -228,18 +300,19 @@ def iter_decode_batches(
         while pending:
             staged = pending.popleft().result()
             submit_next()
-            yield _dispatch_staged(staged, lane_tile, scale)
+            yield _dispatch_staged(staged, lane_tile, scale, norm)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
-                     "crop_h", "crop_w", "scale"),
+                     "crop_h", "crop_w", "scale", "norm"),
 )
 def _decode_batch_crops_jit(coeffs, qidx, qpool, oys, oxs, *,
                             mode: S.ModeSpec, lane_tile: int,
                             interpret: bool, batch: int, gh: int, gw: int,
-                            crop_h: int, crop_w: int, scale: int = 1):
+                            crop_h: int, crop_w: int, scale: int = 1,
+                            norm=None):
     raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
                            lane_tile=lane_tile, interpret=interpret,
                            raw=True, scale=scale)
@@ -252,10 +325,11 @@ def _decode_batch_crops_jit(coeffs, qidx, qpool, oys, oxs, *,
     img = img.reshape(batch, gh * v * n, gw * h * n, 3)
     # Per-image sub-pixel offset into the covering MCU grid (on device);
     # offsets and crop dims arrive pre-divided by scale.
-    return jax.vmap(
+    crops = jax.vmap(
         lambda im, oy, ox: jax.lax.dynamic_slice(
             im, (oy, ox, jnp.int32(0)),
             (crop_h // scale, crop_w // scale, 3)))(img, oys, oxs)
+    return _apply_norm(crops, norm)
 
 
 def decode_same_size_batch_crops(
@@ -266,6 +340,9 @@ def decode_same_size_batch_crops(
     prepare_threads: int = 4,
     wire: str = "auto",
     scale: int = 1,
+    dtype=None,
+    mean=None,
+    std=None,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode one ``crop_h x crop_w`` crop per image -> ``[B, ch, cw, 3]``.
 
@@ -286,14 +363,16 @@ def decode_same_size_batch_crops(
     block, so other crops have no exact scaled representation).
 
     All images must share dimensions and sampling mode (as in
-    :func:`decode_same_size_batch`).
+    :func:`decode_same_size_batch`); ``dtype``/``mean``/``std`` fuse
+    normalization into the decode program (see there).
     """
+    norm = _norm_static(dtype, mean, std)
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
     staged = _host_stage_crops(blobs, boxes, crop_hw, lane_tile, scale,
                                prepare_threads, wire,
                                "decode_same_size_batch_crops")
-    return _dispatch_staged_crops(staged, lane_tile, scale)
+    return _dispatch_staged_crops(staged, lane_tile, scale, norm)
 
 
 def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
@@ -360,7 +439,7 @@ def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
             gw_c, crop_h, crop_w)
 
 
-def _dispatch_staged_crops(staged, lane_tile: int, scale: int):
+def _dispatch_staged_crops(staged, lane_tile: int, scale: int, norm=None):
     (headers, mode, coeffs, qidx, qpool, oys, oxs, batch, gh_c, gw_c,
      crop_h, crop_w) = staged
     out = _decode_batch_crops_jit(
@@ -369,7 +448,7 @@ def _dispatch_staged_crops(staged, lane_tile: int, scale: int):
         jnp.asarray(oys), jnp.asarray(oxs),
         mode=mode, lane_tile=lane_tile, interpret=_interpret(),
         batch=batch, gh=gh_c, gw=gw_c, crop_h=crop_h, crop_w=crop_w,
-        scale=scale)
+        scale=scale, norm=norm)
     return out, headers
 
 
@@ -381,6 +460,9 @@ def iter_decode_batch_crops(
     prepare_threads: int = 4,
     wire: str = "auto",
     prefetch: int = 2,
+    dtype=None,
+    mean=None,
+    std=None,
 ):
     """Streaming random-crop decode with host/device overlap.
 
@@ -389,8 +471,11 @@ def iter_decode_batch_crops(
     while the host half of up to ``prefetch`` upcoming batches runs on
     worker threads — :func:`iter_decode_batches`'s overlap for the
     RandomResizedCrop training path (fixed ``crop_hw``/``scale`` keep one
-    compiled program across batches).
+    compiled program across batches).  ``dtype``/``mean``/``std`` fuse
+    normalization into the decode program (see
+    :func:`decode_same_size_batch`).
     """
+    norm = _norm_static(dtype, mean, std)
     if prefetch < 1:
         raise ValueError(f"prefetch must be >= 1, got {prefetch}")
     from collections import deque
@@ -421,4 +506,4 @@ def iter_decode_batch_crops(
         while pending:
             staged = pending.popleft().result()
             submit_next()
-            yield _dispatch_staged_crops(staged, lane_tile, scale)
+            yield _dispatch_staged_crops(staged, lane_tile, scale, norm)

@@ -285,3 +285,110 @@ class TestIterDecodeBatchCrops:
             [([blob], [(10_000, 0)])], (32, 32), lane_tile=128)
         with pytest.raises(ValueError, match="outside"):
             next(it)
+
+
+class TestFusedNormalization:
+    """dtype/mean/std fuse (pixels - mean) / std into the decode program."""
+
+    def _reference(self, u8, mean, std):
+        """The documented recipe: float32 compute, multiply by 1/std,
+        cast to the requested dtype last."""
+        x = np.asarray(u8).astype(np.float32)
+        if mean is not None:
+            x = x - np.asarray(mean, np.float32).reshape(-1)
+        if std is not None:
+            inv = 1.0 / np.asarray(std, np.float32).reshape(-1)
+            if inv.size == 1:
+                inv = np.repeat(inv, 3)
+            x = x * inv.astype(np.float32)
+        return x
+
+    def test_bf16_normalize_matches_reference(self, photo_image):
+        import jax.numpy as jnp
+
+        blobs = [encode_jpeg(np.roll(photo_image, 5 * i, axis=0),
+                             quality=83, sampling="4:2:0")
+                 for i in range(2)]
+        mean = (123.675, 116.28, 103.53)
+        std = (58.395, 57.12, 57.375)
+        u8, _ = decode_same_size_batch(blobs, lane_tile=128)
+        out, _ = decode_same_size_batch(blobs, lane_tile=128,
+                                        dtype=jnp.bfloat16, mean=mean,
+                                        std=std)
+        assert out.dtype == jnp.bfloat16
+        want = self._reference(u8, mean, std).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(want, np.float32))
+
+    def test_float32_cast_only(self, photo_image):
+        import jax.numpy as jnp
+
+        blobs = [encode_jpeg(photo_image, quality=88, sampling="4:4:4")]
+        u8, _ = decode_same_size_batch(blobs, lane_tile=128)
+        out, _ = decode_same_size_batch(blobs, lane_tile=128,
+                                        dtype=jnp.float32)
+        assert out.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(u8).astype(np.float32))
+
+    def test_scalar_stats_broadcast(self, photo_image):
+        import jax.numpy as jnp
+
+        blobs = [encode_jpeg(photo_image, quality=85, sampling="4:2:0")]
+        a, _ = decode_same_size_batch(blobs, lane_tile=128,
+                                      dtype=jnp.float32, mean=127.5,
+                                      std=2.0)
+        b, _ = decode_same_size_batch(blobs, lane_tile=128,
+                                      dtype=jnp.float32,
+                                      mean=(127.5,) * 3, std=(2.0,) * 3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_crops_normalized(self, photo_image):
+        import jax.numpy as jnp
+
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops,
+        )
+
+        blobs = [encode_jpeg(photo_image, quality=84, sampling="4:2:0")]
+        boxes = [(8, 24)]
+        mean, std = (120.0, 115.0, 100.0), (60.0, 55.0, 58.0)
+        u8, _ = decode_same_size_batch_crops(blobs, boxes, (48, 48),
+                                             lane_tile=128)
+        out, _ = decode_same_size_batch_crops(
+            blobs, boxes, (48, 48), lane_tile=128, dtype=jnp.float32,
+            mean=mean, std=std)
+        assert out.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out),
+                                      self._reference(u8, mean, std))
+
+    def test_streaming_matches_serial_normalized(self, photo_image):
+        import jax.numpy as jnp
+
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batches,
+        )
+
+        blobs = [encode_jpeg(photo_image, quality=86, sampling="4:2:0")]
+        kw = dict(lane_tile=128, dtype=jnp.bfloat16,
+                  mean=(110.0, 112.0, 99.0), std=(51.0, 50.0, 52.0))
+        (out, _), = list(iter_decode_batches([blobs], **kw))
+        want, _ = decode_same_size_batch(blobs, **kw)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(want, np.float32))
+
+    def test_rejects_bad_specs(self, photo_image):
+        import jax.numpy as jnp
+
+        blobs = [encode_jpeg(photo_image, quality=85, sampling="4:2:0")]
+        with pytest.raises(ValueError, match="require dtype"):
+            decode_same_size_batch(blobs, mean=(1.0, 2.0, 3.0))
+        with pytest.raises(ValueError, match="floating"):
+            decode_same_size_batch(blobs, dtype=np.int32)
+        with pytest.raises(ValueError, match="nonzero"):
+            decode_same_size_batch(blobs, dtype=jnp.float32,
+                                   std=(1.0, 0.0, 1.0))
+        with pytest.raises(ValueError, match="length-3"):
+            decode_same_size_batch(blobs, dtype=jnp.float32,
+                                   mean=(1.0, 2.0))
