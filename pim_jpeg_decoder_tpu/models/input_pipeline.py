@@ -16,6 +16,7 @@ bucketing happens upstream); mixed-size corpora use
 from __future__ import annotations
 
 import functools
+import threading
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -127,12 +128,37 @@ def _scan_same_size(blobs: Sequence[bytes], caller: str):
     return headers, h0, S.mode_for(h0.mode_key)
 
 
-def _entropy_decode_pool(headers, prepare_threads: int):
-    """Entropy decode in parallel (the C++ decoder releases the GIL)."""
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max(1, min(prepare_threads,
-                                       len(headers)))) as pool:
-        return list(pool.map(entropy_decode, headers))
+_PREP_POOLS: dict = {}
+_PREP_LOCK = threading.Lock()
+
+
+def _prep_pool(workers: int):
+    """Persistent entropy-decode executors, keyed by worker count: the
+    streaming APIs hit this once per yielded batch, so pool startup must
+    not be paid per call.  Shared across concurrent host stages — the
+    worker count is a host-CPU budget, not a per-batch one."""
+    pool = _PREP_POOLS.get(workers)
+    if pool is None:
+        with _PREP_LOCK:
+            pool = _PREP_POOLS.get(workers)
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                pool = ThreadPoolExecutor(workers,
+                                          thread_name_prefix="pjt-prep")
+                _PREP_POOLS[workers] = pool
+    return pool
+
+
+def _entropy_decode_pool(headers, prepare_threads: int, outs=None):
+    """Entropy decode in parallel (the C++ decoder releases the GIL).
+    ``outs`` (optional) are per-header caller-zeroed destination arrays
+    (transport-buffer slices), passed through to ``entropy_decode``."""
+    if outs is None:
+        outs = [None] * len(headers)
+    workers = max(1, min(prepare_threads, len(headers)))
+    if workers == 1:
+        return [entropy_decode(h, o) for h, o in zip(headers, outs)]
+    return list(_prep_pool(workers).map(entropy_decode, headers, outs))
 
 
 def _check_wire(wire: str) -> None:
@@ -147,7 +173,7 @@ def _maybe_compact(coeffs, wire: str):
     return coeffs
 
 
-def _host_stage(blobs: Sequence[bytes], lane_tile: int, scale: int,
+def _host_stage(blobs: Sequence[bytes], lane_tile: int,
                 prepare_threads: int, wire: str, caller: str):
     """Host half of a same-size batch decode: scan + entropy decode +
     transport staging + wire compaction.  Pure host work (no JAX calls),
@@ -162,13 +188,10 @@ def _host_stage(blobs: Sequence[bytes], lane_tile: int, scale: int,
     # Decode straight into the transport buffer's per-image slices (the
     # native decoder takes a caller-zeroed destination), skipping one
     # full-batch copy.
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max(1, min(prepare_threads,
-                                       len(headers)))) as pool:
-        list(pool.map(
-            lambda ih: entropy_decode(
-                ih[1], out=coeffs[ih[0] * per_img:(ih[0] + 1) * per_img]),
-            enumerate(headers)))
+    _entropy_decode_pool(
+        headers, prepare_threads,
+        outs=[coeffs[i * per_img:(i + 1) * per_img]
+              for i in range(batch)])
     for i in range(batch):
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
@@ -230,9 +253,45 @@ def decode_same_size_batch(
         raise ValueError("empty batch")
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
-    staged = _host_stage(blobs, lane_tile, scale, prepare_threads, wire,
+    staged = _host_stage(blobs, lane_tile, prepare_threads, wire,
                          "decode_same_size_batch")
     return _dispatch_staged(staged, lane_tile, scale, norm)
+
+
+def _prefetched(stage_thunks, prefetch: int):
+    """Shared prefetch scaffold for the streaming APIs: run host-stage
+    thunks on up to ``prefetch`` worker threads, yielding staged results
+    in input order.  The thunk iterator is advanced lazily on the
+    consuming thread (so its validation errors propagate to the caller),
+    and the pool drains fully on early generator close."""
+    if prefetch < 1:
+        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
+
+    it = iter(stage_thunks)
+    with ThreadPoolExecutor(prefetch,
+                            thread_name_prefix="pjt-prefetch") as pool:
+        pending = deque()
+
+        def submit_next() -> bool:
+            try:
+                thunk = next(it)
+            except StopIteration:
+                return False
+            pending.append(pool.submit(thunk))
+            return True
+
+        for _ in range(prefetch):
+            if not submit_next():
+                break
+        while pending:
+            staged = pending.popleft().result()
+            submit_next()
+            yield staged
 
 
 def iter_decode_batches(
@@ -269,38 +328,18 @@ def iter_decode_batches(
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     _check_wire(wire)
     norm = _norm_static(dtype, mean, std)
-    if prefetch < 1:
-        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
 
-    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
-    ensure_compilation_cache()
-
-    it = iter(blob_batches)
-    with ThreadPoolExecutor(prefetch,
-                            thread_name_prefix="pjt-prefetch") as pool:
-        pending = deque()
-
-        def submit_next() -> bool:
-            try:
-                blobs = list(next(it))
-            except StopIteration:
-                return False
+    def stage_thunks():
+        for batch in blob_batches:
+            blobs = list(batch)
             if not blobs:
                 raise ValueError("empty batch")
-            pending.append(pool.submit(
-                _host_stage, blobs, lane_tile, scale, prepare_threads,
-                wire, "iter_decode_batches"))
-            return True
+            yield functools.partial(
+                _host_stage, blobs, lane_tile, prepare_threads, wire,
+                "iter_decode_batches")
 
-        for _ in range(prefetch):
-            if not submit_next():
-                break
-        while pending:
-            staged = pending.popleft().result()
-            submit_next()
-            yield _dispatch_staged(staged, lane_tile, scale, norm)
+    for staged in _prefetched(stage_thunks(), prefetch):
+        yield _dispatch_staged(staged, lane_tile, scale, norm)
 
 
 @functools.partial(
@@ -476,34 +515,13 @@ def iter_decode_batch_crops(
     :func:`decode_same_size_batch`).
     """
     norm = _norm_static(dtype, mean, std)
-    if prefetch < 1:
-        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
 
-    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
-    ensure_compilation_cache()
-
-    it = iter(crop_batches)
-    with ThreadPoolExecutor(prefetch,
-                            thread_name_prefix="pjt-prefetch") as pool:
-        pending = deque()
-
-        def submit_next() -> bool:
-            try:
-                blobs, boxes = next(it)
-            except StopIteration:
-                return False
-            pending.append(pool.submit(
+    def stage_thunks():
+        for blobs, boxes in crop_batches:
+            yield functools.partial(
                 _host_stage_crops, list(blobs), list(boxes), crop_hw,
                 lane_tile, scale, prepare_threads, wire,
-                "iter_decode_batch_crops"))
-            return True
+                "iter_decode_batch_crops")
 
-        for _ in range(prefetch):
-            if not submit_next():
-                break
-        while pending:
-            staged = pending.popleft().result()
-            submit_next()
-            yield _dispatch_staged_crops(staged, lane_tile, scale, norm)
+    for staged in _prefetched(stage_thunks(), prefetch):
+        yield _dispatch_staged_crops(staged, lane_tile, scale, norm)

@@ -221,8 +221,22 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1,
     futures = [_segment_pool().submit(run_range, int(bounds[i]),
                                       int(bounds[i + 1]))
                for i in range(threads) if bounds[i] < bounds[i + 1]]
+    # Drain EVERY future before raising: the _vp pointers above keep no
+    # reference to the arrays, so an early raise would let this frame (the
+    # only owner of data/out/tables) die while later segment calls are
+    # still writing through the pointers (use-after-free).  Segments never
+    # block on each other, so the extra wait is bounded by one range.
+    results = []
+    first_exc: BaseException | None = None
     for fut in futures:
-        rc, err_mcu = fut.result()
+        try:
+            results.append(fut.result())
+        except BaseException as exc:  # pool/ctypes failure: keep draining
+            if first_exc is None:
+                first_exc = exc
+    if first_exc is not None:
+        raise first_exc
+    for rc, err_mcu in results:
         raise_on_error(rc, err_mcu)
     return out
 

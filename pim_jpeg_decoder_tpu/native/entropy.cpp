@@ -374,10 +374,17 @@ struct FastState {
 };
 
 // Worst-case bytes one block can consume: DC (16+11 bits) + 63 AC
-// coefficients at (16+10) bits = 1665 bits = 209 bytes, plus the cursor's
-// byte-granularity lead (<= 8) and the 8-byte refill lookahead.  232
+// coefficients at (16+15) bits = 1980 bits = 248 bytes, plus the cursor's
+// byte-granularity lead (<= 8) and the 8-byte refill lookahead.  264
 // covers all of it even for single-slot (grayscale) MCUs.
-constexpr int64_t kBlockSlack = 232;
+//
+// The 15-bit AC magnitude matters: T.81 baseline encoders only *emit*
+// sizes <= 10, but the 4-bit size field admits up to 15 and both the
+// Python oracle and the careful native path accept such (crafted) streams
+// -- so the guarded fast path must budget for them too.  (The FastState
+// bit budget already covers it: slow-path entry sits <= 24 bits behind a
+// refill, and 24 + 16 + 15 = 55 <= 56.)
+constexpr int64_t kBlockSlack = 264;
 
 inline int32_t decode_symbol(BitReader& br, const HuffTable& tab,
                              int32_t* out_sym) {

@@ -190,7 +190,9 @@ class TestRandomTableDifferential:
                 syms[rng.integers(0, total)] = rng.integers(12, 16)
         else:  # AC: favor small run/size (pair-able), mix in wide + EOB/ZRL
             runs = rng.integers(0, 16, total)
-            sizes = rng.choice([1, 1, 1, 2, 2, 3, 4, 9, 10],
+            # 11..15 are beyond what T.81 encoders emit but legal input —
+            # they stress the fast path's worst-case byte budget.
+            sizes = rng.choice([1, 1, 1, 2, 2, 3, 4, 9, 10, 12, 15],
                                total)
             syms = (runs << 4 | sizes).astype(np.uint8)
             for j in range(total):
@@ -243,7 +245,10 @@ class TestRandomTableDifferential:
                            for i in range(2)},
                 restart_interval=int(rng.choice([0, 0, 0, 2, 5])),
             )
-            n = int(rng.integers(16, 400))
+            # Mostly short streams (careful-path coverage); occasionally
+            # long enough that the >=264-byte guarded fast phase engages.
+            n = int(rng.integers(300, 4000) if rng.random() < 0.15
+                    else rng.integers(16, 400))
             payload = rng.integers(0, 256, n, np.uint8)
             if rng.random() < 0.3:
                 payload[rng.random(n) < 0.5] = 0  # zero-heavy: long decodes
@@ -276,3 +281,131 @@ class TestRandomTableDifferential:
         # Garbage streams mostly error, but a healthy fraction must fully
         # decode for the comparison to mean anything.
         assert agree >= 30, f"only {agree} successful decodes compared"
+
+
+class TestWideMagnitudeSlack:
+    """Worst-case-block byte budget for the guarded fast path.
+
+    The 4-bit AC size field admits magnitudes up to 15 (T.81 baseline
+    encoders only emit <= 10, but crafted tables are legal input): with
+    16-bit codes a block can cost 27 + 63*31 = 1980 bits = 247.5 bytes,
+    which overran the original 232-byte kBlockSlack — the fast path would
+    read past the entropy buffer on streams truncated mid-final-block
+    (observed: garbage success where the oracle raises out-of-data).
+    kBlockSlack is 264 now; these streams pin the bound differentially.
+    """
+
+    @staticmethod
+    def _onecode16(symbol):
+        counts = np.zeros(16, np.uint8)
+        counts[15] = 1  # a single 16-bit code (all-zero bits)
+        return counts, np.array([symbol], np.uint8)
+
+    def _make_header(self, nblocks, truncate_to=None):
+        from pim_jpeg_decoder_tpu.codec.header import (
+            Component,
+            HuffmanTableSpec,
+            JpegHeader,
+        )
+
+        dc_counts, dc_syms = self._onecode16(11)    # DC size 11
+        ac_counts, ac_syms = self._onecode16(0x0F)  # AC run 0, size 15
+        bits = []
+
+        def put(value, n):
+            bits.extend((value >> i) & 1 for i in range(n - 1, -1, -1))
+
+        for _ in range(nblocks):  # 1980 bits per block
+            put(0, 16)            # DC code
+            put(0x7FF, 11)        # DC magnitude
+            for _ in range(63):
+                put(0, 16)        # AC code
+                put(0x7FFF, 15)   # AC magnitude -> +32767
+        while len(bits) % 8:
+            bits.append(1)
+        payload = bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8))
+        if truncate_to is not None:
+            payload = payload[:truncate_to]
+        header = JpegHeader(
+            width=8 * nblocks, height=8,
+            components=[Component(0, 1, 1, 0, dc_id=0, ac_id=0)],
+            dc_tables={0: HuffmanTableSpec(0, 0, dc_counts, dc_syms)},
+            ac_tables={0: HuffmanTableSpec(0, 1, ac_counts, ac_syms)},
+            restart_interval=0,
+        )
+        header.entropy_bytes = payload
+        header.segment_offsets = (0,)
+        return header
+
+    def _differential(self, header):
+        r_py = e_py = r_cc = e_cc = None
+        try:
+            r_py = decode_scan(header)
+        except JpegError as e:
+            e_py = str(e)
+        try:
+            r_cc = decode_scan_cpp(header)
+        except JpegError as e:
+            e_cc = str(e)
+        if e_py is None and e_cc is None:
+            np.testing.assert_array_equal(r_py, r_cc)
+        else:
+            assert e_py is not None and e_cc is not None, (
+                f"one path errored, the other decoded: "
+                f"py={e_py!r} cpp={e_cc!r}")
+            # Same error, modulo the native "(MCU n)" suffix.
+            assert e_cc.startswith(e_py), (e_py, e_cc)
+
+    def test_full_stream_worst_case_blocks(self):
+        # 8 blocks x 247.5 B decode bit-identically through the fast path.
+        self._differential(self._make_header(8))
+
+    @pytest.mark.parametrize("cut", list(range(1964, 1980, 2)))
+    def test_truncated_final_block(self, cut):
+        # The 8th block starts at byte 1732.5; cuts in [1964, 1980) leave
+        # 232..247 bytes — exactly the window the old slack mis-admitted.
+        self._differential(self._make_header(8, truncate_to=cut))
+
+
+class TestSegmentErrorDrain:
+    """An erroring segment range must not orphan still-running ranges:
+    decode_scan_cpp's frame is the only owner of the staged buffers, so
+    every future has to complete before the error propagates."""
+
+    def test_all_futures_done_before_raise(self, monkeypatch):
+        from pim_jpeg_decoder_tpu.native import binding
+
+        monkeypatch.setattr(binding, "_MIN_MCUS_PER_THREAD", 1)
+        real_pool = binding._segment_pool()
+        recorded = []
+
+        class RecordingPool:
+            def submit(self, fn, *a, **kw):
+                fut = real_pool.submit(fn, *a, **kw)
+                recorded.append(fut)
+                return fut
+
+        monkeypatch.setattr(binding, "_segment_pool",
+                            lambda: RecordingPool())
+
+        # 40 segments, the FIRST corrupt (invalid code immediately), the
+        # rest full-cost wide-magnitude blocks so later ranges are still
+        # decoding when range 0's error lands.
+        slack = TestWideMagnitudeSlack()
+        header = slack._make_header(80)
+        payload = bytearray(header.entropy_bytes)
+        offs = [0]
+        for seg in range(1, 40):
+            offs.append((seg * 2 * 1980) // 8)  # 2 blocks per segment
+        payload[0] = 0xFF  # top bits != the single all-zero code
+        header.entropy_bytes = bytes(payload)
+        header.segment_offsets = tuple(offs)
+        header.restart_interval = 2
+
+        with pytest.raises(JpegError):
+            decode_scan_cpp(header, threads=8)
+        assert recorded, "threaded path did not engage"
+        assert all(f.done() for f in recorded), (
+            "decode_scan_cpp raised while segment futures were pending")

@@ -123,7 +123,8 @@ def main() -> None:
 
     t0 = time.monotonic()
     stats = {"valid": 0, "mismatch": 0, "corrupt_ok": 0,
-             "corrupt_decoded": 0, "stream_batches": 0, "failures": []}
+             "corrupt_decoded": 0, "stream_batches": 0, "table_trials": 0,
+             "failures": []}
     batch = []
 
     def stream_check() -> None:
@@ -156,9 +157,118 @@ def main() -> None:
                 return
         stats["stream_batches"] += len(batches)
 
+    def table_check() -> None:
+        """Property 1 at the entropy level: random canonical Huffman
+        tables + garbage payloads decode byte-identically (same output,
+        or both error) through the native decoder and the Python oracle —
+        including streams long enough to engage the guarded fast path
+        (>= kBlockSlack bytes remaining), the window where a byte-budget
+        bug once hid (see docs/entropy_fast_path.md)."""
+        from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
+        from pim_jpeg_decoder_tpu.codec.header import (
+            Component,
+            HuffmanTableSpec,
+            JpegError,
+            JpegHeader,
+        )
+        from pim_jpeg_decoder_tpu.native import native_available
+        from pim_jpeg_decoder_tpu.native.binding import decode_scan_cpp
+        if not native_available():
+            return
+
+        def make_table(table_class, table_id):
+            if rng.random() < 0.6:  # complete: dense success coverage
+                depths = [1, 1]
+                target = int(rng.integers(4, 40))
+                while len(depths) < target:
+                    j = int(rng.integers(0, len(depths)))
+                    if depths[j] >= 16:
+                        continue
+                    d = depths.pop(j)
+                    depths += [d + 1, d + 1]
+                counts = np.zeros(16, np.uint8)
+                for d in depths:
+                    counts[d - 1] += 1
+                total = len(depths)
+            else:  # sparse canonical: BAD_CODE coverage
+                counts = np.zeros(16, np.uint8)
+                code = 0
+                total = 0
+                for l in range(1, 17):
+                    cap = (1 << l) - code
+                    n = (0 if cap <= 0 or total >= 162
+                         else int(rng.choice([0, 0, 1, 2, 3])))
+                    n = max(0, min(n, cap - (1 if l < 16 else 0),
+                                   162 - total))
+                    counts[l - 1] = n
+                    total += n
+                    code = (code + n) << 1
+                if total == 0:
+                    counts[0] = 1
+                    total = 1
+            if table_class == 0:  # DC sizes incl. the invalid 12..15
+                syms = rng.integers(0, 16, total).astype(np.uint8)
+            else:  # AC: pair-able smalls + wide magnitudes incl. 11..15
+                runs = rng.integers(0, 16, total)
+                sizes = rng.choice([0, 1, 2, 3, 4, 9, 10, 12, 15], total)
+                syms = (runs << 4 | sizes).astype(np.uint8)
+            return HuffmanTableSpec(table_id, table_class, counts, syms)
+
+        for _ in range(8):
+            if rng.random() < 0.4:
+                comps = [Component(0, 1, 1, 0, dc_id=0, ac_id=0)]
+            else:
+                v, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+                comps = [Component(0, h, v, 0, dc_id=0, ac_id=0),
+                         Component(1, 1, 1, 0, dc_id=1, ac_id=1),
+                         Component(2, 1, 1, 0, dc_id=1, ac_id=1)]
+            header = JpegHeader(
+                width=int(rng.integers(8, 64)),
+                height=int(rng.integers(8, 48)),
+                components=comps,
+                dc_tables={t: make_table(0, t) for t in range(2)},
+                ac_tables={t: make_table(1, t) for t in range(2)},
+                restart_interval=int(rng.choice([0, 0, 0, 2, 5])),
+            )
+            n = int(rng.integers(300, 4000) if rng.random() < 0.3
+                    else rng.integers(16, 400))
+            payload = rng.integers(0, 256, n, np.uint8)
+            if rng.random() < 0.3:
+                payload[rng.random(n) < 0.5] = 0  # long decodes
+            header.entropy_bytes = payload.tobytes()
+            if header.restart_interval:
+                segs = -(-header.num_mcus // header.restart_interval)
+                offs = sorted(int(x) for x in rng.integers(0, n, segs - 1))
+                header.segment_offsets = tuple([0] + offs)
+            else:
+                header.segment_offsets = (0,)
+
+            r_py = e_py = r_cc = e_cc = None
+            try:
+                r_py = decode_scan(header)
+            except JpegError as e:
+                e_py = str(e)
+            try:
+                r_cc = decode_scan_cpp(header)
+            except JpegError as e:
+                e_cc = str(e)
+            if e_py is None and e_cc is None:
+                if not np.array_equal(r_py, r_cc):
+                    stats["mismatch"] += 1
+                    stats["failures"].append(("table", "native != oracle"))
+                    return
+            elif e_py is None or e_cc is None:
+                stats["mismatch"] += 1
+                stats["failures"].append(
+                    ("table", f"one path errored: py={e_py!r} cc={e_cc!r}"))
+                return
+            stats["table_trials"] += 1
+
     for i in range(iters):
         if rng.random() < 0.02:
             stream_check()
+        if rng.random() < 0.05:
+            table_check()
         name, data = random_jpeg(rng)
         mode = rng.random()
         if mode < 0.7:
