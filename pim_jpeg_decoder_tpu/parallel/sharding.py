@@ -70,15 +70,23 @@ def place_for_mesh(coeffs, qidx, qpool, mesh: Mesh):
     int16) is preserved on the wire and widened on device.
     """
     import numpy as _np
-    wire_dt = (jnp.int8 if _np.dtype(getattr(coeffs, "dtype", _np.int16))
-               == _np.dtype(_np.int8) else jnp.int16)
-    coeffs = jax.device_put(
-        jnp.asarray(coeffs, wire_dt), NamedSharding(mesh, P(MCU_AXIS)))
-    qidx = jax.device_put(
-        jnp.asarray(qidx, jnp.int32), NamedSharding(mesh, P(MCU_AXIS)))
-    qpool = jax.device_put(
-        jnp.asarray(qpool, jnp.float32), NamedSharding(mesh, P()))
-    return coeffs, qidx, qpool
+    wire_np = (_np.int8 if _np.dtype(getattr(coeffs, "dtype", _np.int16))
+               == _np.dtype(_np.int8) else _np.int16)
+
+    def _put(arr, np_dt, spec):
+        # Host arrays: fix the dtype on host and let ONE device_put ship
+        # each shard directly to its device.  (jnp.asarray first would
+        # materialize the full array on the default device and turn the
+        # placement into a second device-to-device scatter — an extra
+        # full-batch copy on the H2D-bound path.)  Already-on-device
+        # arrays skip the host conversion (np.asarray would D2H them).
+        if not isinstance(arr, jax.Array):
+            arr = _np.asarray(arr, np_dt)
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return (_put(coeffs, wire_np, P(MCU_AXIS)),
+            _put(qidx, _np.int32, P(MCU_AXIS)),
+            _put(qpool, _np.float32, P()))
 
 
 def _already_placed(arr, mesh: Mesh, spec) -> bool:

@@ -22,13 +22,15 @@ import os
 import tempfile
 from typing import Dict, Optional, Tuple
 
-_CACHE_VERSION = 5   # v5: quant pool sized to max_images_per_batch
+_CACHE_VERSION = 6   # v6: quant-pool depth Q is part of the key
 _CACHE_PATH = os.path.join(tempfile.gettempdir(), "pim_jpeg_tpu",
                            "phase_cache.json")
 
-# (mode_key, m_per_chip, lane_tile, transport, scale, wire) observed
-# launch geometry; wire is "i8" (compact coefficient wire) or "i16".
-LaunchKey = Tuple[Tuple[int, int, int], int, int, str, int, str]
+# (mode_key, m_per_chip, lane_tile, transport, scale, wire, q) observed
+# launch geometry; wire is "i8" (compact coefficient wire) or "i16";
+# q is the quant-pool depth (packed batches pad to max_images_per_batch,
+# dedicated/banded launches use q=1 -- distinct compiled programs).
+LaunchKey = Tuple[Tuple[int, int, int], int, int, str, int, str, int]
 
 
 def _load_cache() -> Dict[str, Dict[str, float]]:
@@ -54,9 +56,9 @@ def _save_cache(entries: Dict[str, Dict[str, float]]) -> None:
 
 
 def _cache_key(key: LaunchKey, device_kind: str) -> str:
-    mode_key, m, lane_tile, transport, scale, wire = key
+    mode_key, m, lane_tile, transport, scale, wire, q = key
     return "|".join([device_kind, "x".join(map(str, mode_key)), str(m),
-                     str(lane_tile), transport, str(scale), wire])
+                     str(lane_tile), transport, str(scale), wire, str(q)])
 
 
 def measure_phases(key: LaunchKey, n_hi: int = 36,
@@ -95,7 +97,7 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
 
     ensure_compilation_cache()
-    mode_key, m, lane_tile, transport, scale, wire = key
+    mode_key, m, lane_tile, transport, scale, wire, q = key
     mode = S.mode_for(mode_key)
     rng = np.random.default_rng(0)
     # Rotate every large input so XLA cannot keep a loop-invariant buffer
@@ -110,11 +112,10 @@ def measure_phases(key: LaunchKey, n_hi: int = 36,
     coeff_rot = [jax.device_put(
         rng.integers(lo, hi, (m, mode.g, 64)).astype(wire_np))
         for _ in range(n_rot)]
-    # Size the synthetic quant pool to the engine's production maximum so
-    # the one-hot quant-gather matmul dimension matches real launches
-    # (a Q=4 pool under-reports batches holding up to max_images images).
-    from pim_jpeg_decoder_tpu.ops.decode_kernel import MAX_IMAGES_PER_BATCH
-    q = MAX_IMAGES_PER_BATCH
+    # The quant-pool depth comes from the launch key, so the one-hot
+    # quant-gather matmul dimension matches the exact production launch
+    # (packed batches pad to max_images_per_batch; dedicated/banded
+    # launches run q=1).
     qidx = jax.device_put((np.arange(m) % q).astype(np.int32))
     qpool_rot = [jax.device_put(
         rng.integers(1, 64, (q, mode.g, 64)).astype(np.float32))

@@ -297,13 +297,17 @@ class DecodeEngine:
     def _launch_key(self, batch: Batch, sharded: bool) -> tuple:
         """Launch geometry for the device-phase profile: PER-CHIP MCU
         count (a mesh launch runs M/n_devices per chip) + wire dtype (the
-        int8 wire compiles a distinct, cheaper-input program)."""
+        int8 wire compiles a distinct, cheaper-input program) + quant-pool
+        depth Q (packed Q=max_images and dedicated/banded Q=1 batches are
+        distinct compiled programs — the one-hot quant gather's matmul
+        dimension differs)."""
         m = int(batch.coeffs.shape[0])
         if sharded:
             m //= self._mesh.devices.size
         wire = "i8" if batch.coeffs.dtype == np.int8 else "i16"
         return ((batch.mode.h, batch.mode.v, batch.mode.ncomp), m,
-                self.lane_tile, batch.transport, self.scale, wire)
+                self.lane_tile, batch.transport, self.scale, wire,
+                int(batch.qpool.shape[0]))
 
     def _dispatch_batch(self, batch: Batch, timers: StageTimers):
         """Launch the fused kernel asynchronously (JAX dispatch returns
@@ -469,22 +473,48 @@ class DecodeEngine:
         consumer_thread = threading.Thread(target=consumer, daemon=True)
         consumer_thread.start()
 
-        def stage_safe(uid, name, batches) -> None:
+        def stage_safe(batches) -> None:
             """Stage+enqueue; staging errors (host/device OOM etc.) are
-            per-file failures, not run killers."""
-            try:
-                for b in batches:
+            per-file failures for the failing batch's OWN images, not run
+            killers.  (A flushed batch holds EARLIER images than the one
+            whose add() triggered the flush, so attribution must come from
+            the batch, not the caller.)"""
+            for b in batches:
+                try:
                     batch_q.put(self._stage_batch(b, timers))
-            except Exception as e:
-                logger.warning("staging %s failed: %s", name, e)
-                results[uid] = FileResult(name, False,
-                                          error=f"staging failed: {e}")
+                except Exception as e:
+                    for img, _ in b.images:
+                        logger.warning("staging %s failed: %s",
+                                       img.name, e)
+                        if img.band_target is not None:
+                            img.band_target[0].failed = True
+                        results[img.uid] = FileResult(
+                            img.name, False,
+                            error=f"staging failed: {e}")
 
         with ThreadPoolExecutor(self.prepare_threads) as pool:
-            futures = [(i, name, pool.submit(self._prepare, name, data, i,
-                                             timers))
-                       for i, (name, data) in enumerate(items)]
-            for uid, name, fut in futures:
+            # Bounded submission window: a completed-but-unconsumed
+            # prepare future holds a full coefficient array, so submitting
+            # every item up front would let the pool run unboundedly ahead
+            # of the device consumer on large corpora (host OOM).  The
+            # window keeps the pool saturated while capping held results;
+            # downstream, the bounded batch queue throttles this loop.
+            from collections import deque
+            window = max(2 * self.prepare_threads, 4)
+            item_iter = iter(enumerate(items))
+            inflight = deque()
+
+            def submit_next() -> None:
+                for i, (name, data) in item_iter:
+                    inflight.append((i, name, pool.submit(
+                        self._prepare, name, data, i, timers)))
+                    return
+
+            for _ in range(window):
+                submit_next()
+            while inflight:
+                uid, name, fut = inflight.popleft()
+                submit_next()
                 try:
                     prepared = fut.result()
                 except Exception as e:
@@ -495,7 +525,7 @@ class DecodeEngine:
                 # MCU-row-aligned chunks (the reference rejects these,
                 # "Too high resolution", reference: src/decoder_host.cpp:146).
                 if prepared.header.num_mcus > self.max_launch_mcus:
-                    stage_safe(uid, name, self._split_bands(prepared))
+                    stage_safe(self._split_bands(prepared))
                     continue
                 # Oversized image: dedicated launch, bucket-aligned so the
                 # set of compiled kernel shapes stays bounded.
@@ -504,12 +534,11 @@ class DecodeEngine:
                         self._dedicated_budget(prepared.header.num_mcus),
                         max_images=1, lane_tile=self.batch_align)
                     big.add(prepared)
-                    stage_safe(uid, name, big.flush_all())
+                    stage_safe(big.flush_all())
                     continue
-                stage_safe(uid, name, router.add(prepared))
+                stage_safe(router.add(prepared))
         try:
-            for b in router.flush_all():
-                batch_q.put(self._stage_batch(b, timers))
+            stage_safe(router.flush_all())
         finally:
             batch_q.put(None)
             consumer_thread.join()

@@ -111,3 +111,10 @@ class EngineConfig:
             raise ValueError(
                 f"max_launch_mcus ({self.max_launch_mcus}) must be >= "
                 f"lane_tile ({self.lane_tile})")
+        if self.budget_mcus > self.max_launch_mcus:
+            # A packed batch dispatches as ONE launch, so the launch cap
+            # bounds the packing budget too; clamp (lane-tile-aligned)
+            # rather than raise so "cap my launches" via
+            # PIM_JPEG_TPU_MAX_LAUNCH alone does what it says.
+            self.budget_mcus = (self.max_launch_mcus
+                                // self.lane_tile * self.lane_tile)

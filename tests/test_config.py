@@ -43,3 +43,18 @@ def test_rejects_ycbcr_transport_with_scale():
         EngineConfig(scale=2, transport="ycbcr").validate()
     EngineConfig(scale=2, transport="auto").validate()  # ok
     EngineConfig(scale=2, transport="rgb").validate()   # ok
+
+
+def test_budget_clamped_to_launch_cap():
+    """A packed batch dispatches as one launch, so max_launch_mcus bounds
+    the packing budget: capping launches via PIM_JPEG_TPU_MAX_LAUNCH alone
+    must cap batch sizes too (lane-tile-aligned clamp, not an error)."""
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+    cfg = EngineConfig(budget_mcus=16384, lane_tile=128,
+                       max_launch_mcus=512)
+    cfg.validate()
+    assert cfg.budget_mcus == 512
+    cfg2 = EngineConfig(budget_mcus=16384, lane_tile=512,
+                        max_launch_mcus=640)  # clamp stays tile-aligned
+    cfg2.validate()
+    assert cfg2.budget_mcus == 512

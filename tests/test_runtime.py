@@ -284,13 +284,14 @@ def test_engine_records_launch_stats(photo_image):
     report = engine.decode_named_blobs([("a", data), ("b", data)])
     assert report.ok_count == 2
     assert sum(report.launch_stats.values()) >= 1
-    (mode_key, m, lane_tile, transport, scale, wire) = next(
+    (mode_key, m, lane_tile, transport, scale, wire, q) = next(
         iter(report.launch_stats))
     assert mode_key == (2, 2, 3)
     assert m % lane_tile == 0
     assert transport in ("rgb", "ycbcr")
     assert scale == 1
     assert wire in ("i8", "i16")
+    assert q == cfg.max_images_per_batch  # packed batches pad the qpool
     # print_profile with device phases must be a no-op on CPU (no crash,
     # no bogus interpret-mode numbers).
     report.print_profile(device_phases="cached")
@@ -311,3 +312,84 @@ def test_engine_reports_init_line(photo_image, capsys):
     report.print_profile()
     out = capsys.readouterr().out
     assert "Device program init (trace+compile," in out
+
+
+class TestStagingFailureIsolation:
+    """Staging errors are per-file failures attributed to the failing
+    batch's OWN images (a flushed batch holds EARLIER images than the one
+    whose add() triggered the flush), and the final flush is isolated
+    like every other staging site."""
+
+    def _engine(self):
+        from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+        # num_devices=1: the virtual 8-device mesh would round the budget
+        # up to 8*lane_tile and absorb all three images into one batch,
+        # hiding the flush-on-add pattern this class exercises.
+        cfg = EngineConfig(budget_mcus=128, lane_tile=128,
+                           prepare_threads=1, num_devices=1)
+        return DecodeEngine(keep_rgb=True, config=cfg)
+
+    def _blob(self, rng):
+        img = rng.integers(0, 256, (128, 128, 3), np.uint8)  # 64 MCUs 4:2:0
+        return encode_jpeg(img, quality=80, sampling="4:2:0")
+
+    def test_flush_failure_blames_flushed_batch_not_trigger(self, rng):
+        engine = self._engine()
+        calls = {"n": 0}
+        orig = engine._stage_batch
+
+        def flaky(batch, timers):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+            return orig(batch, timers)
+
+        engine._stage_batch = flaky
+        # a + b fill the 128-MCU batch; adding c flushes it (staging of
+        # that FIRST batch fails), c decodes via the final flush.
+        blobs = [("a", self._blob(rng)), ("b", self._blob(rng)),
+                 ("c", self._blob(rng))]
+        report = engine.decode_named_blobs(blobs)
+        by_name = {r.name: r for r in report.results}
+        assert not by_name["a"].ok and "staging failed" in by_name["a"].error
+        assert not by_name["b"].ok and "staging failed" in by_name["b"].error
+        assert by_name["c"].ok, by_name["c"].error
+        assert calls["n"] == 2
+
+    def test_all_staging_fails_returns_full_report(self, rng):
+        engine = self._engine()
+
+        def always_fail(batch, timers):
+            raise RuntimeError("device gone")
+
+        engine._stage_batch = always_fail
+        blobs = [(f"i{k}", self._blob(rng)) for k in range(3)]
+        report = engine.decode_named_blobs(blobs)  # must not raise
+        assert report.ok_count == 0
+        assert all("staging failed" in r.error for r in report.results)
+
+
+def test_prepare_window_handles_many_items_with_failures(rng):
+    """The bounded prepare-submission window must process every item in
+    order even when the corpus is larger than the window and some items
+    fail to prepare."""
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=2)
+    engine = DecodeEngine(keep_rgb=True, config=cfg)
+    blobs = []
+    for k in range(14):  # > window = max(2*prepare_threads, 4)
+        img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        data = encode_jpeg(img, quality=80, sampling="4:2:0")
+        if k % 5 == 2:
+            data = data[: len(data) // 2]  # corrupt: prepare fails
+        blobs.append((f"f{k}", data))
+    report = engine.decode_named_blobs(blobs)
+    assert len(report.results) == 14
+    for k, res in enumerate(report.results):
+        assert res.name == f"f{k}"
+        if k % 5 == 2:
+            assert not res.ok and res.error
+        else:
+            assert res.ok, res.error
+            want = decode_bytes_oracle(blobs[k][1]).rgb
+            np.testing.assert_array_equal(res.rgb, want)
