@@ -135,7 +135,13 @@ def _read_sof(cur: _Cursor, header: JpegHeader, marker: int) -> None:
             f"Invalid precision: {header.precision} (only 8-bit supported)")
     header.height = cur.u16()
     header.width = cur.u16()
-    if header.height == 0 or header.width == 0:
+    if header.height == 0:
+        # T.81 B.2.5: height 0 defers the line count to a DNL segment
+        # after the first scan — well-formed but unsupported here (the
+        # DNL segment itself is skipped at :415).
+        raise UnsupportedJpegError(
+            "Height 0 (DNL-deferred number of lines) not supported")
+    if header.width == 0:
         raise JpegError("Invalid JPEG dimensions: 0")
 
     ncomp = cur.u8()

@@ -89,6 +89,21 @@ def _apply_norm(img, norm):
     return x.astype(dtype)
 
 
+def _raster_relayout(raw, mode: S.ModeSpec, scale: int, batch: int,
+                     gh: int, gw: int):
+    """[3, V*H, nn, B*M] kernel-native -> [B, gh*V*n, gw*H*n, 3] raster
+    (one fused relayout on device instead of two).  Kernel-native slot
+    pixel order is COLUMN-major: reshape as (px, py).  Shared by the
+    full-batch and crop-batch decode programs so the layout contract
+    lives in exactly one place."""
+    v, h = mode.v, mode.h
+    n = 8 // scale
+    img = raw[..., : batch * gh * gw]
+    img = img.reshape(3, v, h, n, n, batch, gh, gw)
+    img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
+    return img.reshape(batch, gh * v * n, gw * h * n, 3)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "lane_tile", "interpret", "batch", "gh", "gw",
@@ -101,16 +116,7 @@ def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
     raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
                            lane_tile=lane_tile, interpret=interpret,
                            raw=True, scale=scale)
-    v, h = mode.v, mode.h
-    n = 8 // scale
-    per_img = gh * gw
-    # [3, V*H, nn, B*M] kernel-native -> [B, gh*V*n, gw*H*n, 3] raster
-    # (one fused relayout on device instead of two).
-    img = raw[..., : batch * per_img]
-    # Kernel-native slot pixel order is COLUMN-major: reshape as (px, py).
-    img = img.reshape(3, v, h, n, n, batch, gh, gw)
-    img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
-    img = img.reshape(batch, gh * v * n, gw * h * n, 3)
+    img = _raster_relayout(raw, mode, scale, batch, gh, gw)
     return _apply_norm(img[:, :height, :width, :], norm)
 
 
@@ -355,13 +361,7 @@ def _decode_batch_crops_jit(coeffs, qidx, qpool, oys, oxs, *,
     raw = decode_mcus_impl(coeffs, qidx, qpool, mode=mode,
                            lane_tile=lane_tile, interpret=interpret,
                            raw=True, scale=scale)
-    v, h = mode.v, mode.h
-    n = 8 // scale
-    per_img = gh * gw
-    img = raw[..., : batch * per_img]
-    img = img.reshape(3, v, h, n, n, batch, gh, gw)
-    img = img.transpose(5, 6, 1, 4, 7, 2, 3, 0)
-    img = img.reshape(batch, gh * v * n, gw * h * n, 3)
+    img = _raster_relayout(raw, mode, scale, batch, gh, gw)
     # Per-image sub-pixel offset into the covering MCU grid (on device);
     # offsets and crop dims arrive pre-divided by scale.
     crops = jax.vmap(

@@ -171,6 +171,9 @@ class TpuJpegDecoder:
     """
 
     def __init__(self, lane_tile: int = LANE_TILE, transport: str = "auto"):
+        if transport not in ("auto", "rgb", "ycbcr"):
+            raise ValueError(
+                f"transport must be auto/rgb/ycbcr, got {transport!r}")
         self.lane_tile = lane_tile
         self.transport = transport
 
@@ -256,8 +259,6 @@ def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,
     ImageNet-style random crop that is a ~3-5x cut.  Pixels are bit-identical
     to the same slice of a full decode (tested).
     """
-    import dataclasses as _dc
-
     header = scan_jpeg(data)
     if not (0 <= y0 and 0 <= x0 and height > 0 and width > 0
             and y0 + height <= header.height and x0 + width <= header.width):
@@ -278,8 +279,8 @@ def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,
 
     # A sub-header describing just the MCU sub-grid (geometry properties
     # derive from width/height, so replace() keeps them consistent).
-    sub_header = _dc.replace(header, height=(r1 - r0) * px_h,
-                             width=(c1 - c0) * px_w)
+    sub_header = dataclasses.replace(header, height=(r1 - r0) * px_h,
+                                     width=(c1 - c0) * px_w)
 
     m_pad = pad_mcus(sub.shape[0], lane_tile)
     padded = np.zeros((m_pad, mode.g, 64), np.int16)

@@ -126,10 +126,19 @@ class TestScannerErrors:
         with pytest.raises(UnsupportedJpegError, match="precision"):
             scan_jpeg(bytes(data))
 
-    def test_zero_dimensions(self, photo_image):
+    def test_zero_height_is_unsupported_dnl(self, photo_image):
+        # T.81 B.2.5: height 0 defers the line count to a DNL segment —
+        # well-formed but unsupported (distinct from corrupt dimensions).
         data = bytearray(make_jpeg(photo_image, sampling="4:4:4"))
         idx = data.find(struct.pack(">H", M.SOF0))
         data[idx + 5:idx + 7] = b"\x00\x00"  # height = 0
+        with pytest.raises(UnsupportedJpegError, match="DNL"):
+            scan_jpeg(bytes(data))
+
+    def test_zero_width_rejected(self, photo_image):
+        data = bytearray(make_jpeg(photo_image, sampling="4:4:4"))
+        idx = data.find(struct.pack(">H", M.SOF0))
+        data[idx + 7:idx + 9] = b"\x00\x00"  # width = 0
         with pytest.raises(JpegError, match="dimensions"):
             scan_jpeg(bytes(data))
 
