@@ -159,23 +159,32 @@ def bench_host_entropy(blobs) -> float:
     return mp / (time.monotonic() - t0)
 
 
-def bench_progressive(blobs) -> float:
-    """Host progressive (SOF2) decode throughput — capability beyond the
-    reference, so it gets its own number."""
+def make_progressive_headers(blobs, n: int = 12):
+    """Progressive (SOF2) re-encodes of the corpus head, parsed — the
+    fixture set for host_progressive_mps (shared with
+    tools/entropy_bench.py --prog so both report the same corpus)."""
     import io
 
     from PIL import Image
 
-    from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
     from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
 
     headers = []
-    for _, d in blobs[:12]:
+    for _, d in blobs[:n]:
         img = Image.open(io.BytesIO(d)).convert("RGB")
         buf = io.BytesIO()
         img.save(buf, format="JPEG", progressive=True, quality=75,
                  subsampling=2)
         headers.append(scan_jpeg(buf.getvalue()))
+    return headers
+
+
+def bench_progressive(blobs) -> float:
+    """Host progressive (SOF2) decode throughput — capability beyond the
+    reference, so it gets its own number."""
+    from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+
+    headers = make_progressive_headers(blobs)
     t0 = time.monotonic()
     mp = 0.0
     for h in headers:
@@ -257,11 +266,15 @@ def bench_e2e(blobs) -> tuple:
     # Warmup: compile every mode present.
     engine.decode_named_blobs(blobs[:2])
     rates = []
-    for _ in range(3):  # tunnel bandwidth fluctuates 2-3x between runs
+    for run in range(3):  # tunnel bandwidth fluctuates 2-3x between runs
+        # Rotate the decode order per run: identical batch packing would
+        # re-issue byte-identical launches, which the tunnel's result
+        # cache can serve (CLAUDE.md measurement hazards).
+        order = blobs[run:] + blobs[:run]
         t0 = time.monotonic()
-        report = engine.decode_named_blobs(blobs)
+        report = engine.decode_named_blobs(order)
         dt = time.monotonic() - t0
-        assert report.ok_count == len(blobs), [
+        assert report.ok_count == len(order), [
             r.error for r in report.results if not r.ok]
         rates.append(report.total_megapixels / dt)
         if dt > 120:
@@ -269,6 +282,20 @@ def bench_e2e(blobs) -> tuple:
     # statistics.median averages the middle pair for even counts (a
     # 2-run crawl-break would otherwise report the max as the "median").
     return statistics.median(rates), max(rates)
+
+
+def largest_same_size_group(blobs):
+    """Largest same-(size, mode) group of a corpus: (datas, total_mp).
+    Shared by the device/stream e2e benches (one grouping-key contract)."""
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+
+    groups = {}
+    for _, d in blobs:
+        h = scan_jpeg(d)
+        groups.setdefault((h.width, h.height, h.mode_key), []).append(
+            (d, h.width * h.height / 1e6))
+    batch = max(groups.values(), key=len)
+    return [d for d, _ in batch], sum(m for _, m in batch)
 
 
 def bench_e2e_device(blobs) -> float:
@@ -282,20 +309,12 @@ def bench_e2e_device(blobs) -> float:
     + BMP assembly) cannot represent.  Median of 3 runs, batch rotated per
     run so no level of the stack can serve a cached result.
     """
-    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
     from pim_jpeg_decoder_tpu.models.input_pipeline import (
         decode_same_size_batch,
     )
 
     # Largest same-(size, mode) group of the corpus (ilsvrc may differ).
-    groups = {}
-    for _, d in blobs:
-        h = scan_jpeg(d)
-        groups.setdefault((h.width, h.height, h.mode_key), []).append(
-            (d, h.width * h.height / 1e6))
-    batch = max(groups.values(), key=len)
-    datas = [d for d, _ in batch]
-    mp = sum(m for _, m in batch)
+    datas, mp = largest_same_size_group(blobs)
 
     def run(rot: int) -> float:
         rotated = datas[rot:] + datas[:rot]
@@ -325,11 +344,17 @@ def bench_e2e_mixed(mixed) -> float:
     engine.decode_named_blobs(mixed)  # warmup: compile every geometry
     rates = []
     t_all = time.monotonic()
-    for _ in range(3):
+    for run in range(3):
+        # Rotate per run so batch packing (and thus launch inputs) differ
+        # — identical re-issues can be served by the tunnel's result
+        # cache.  Dedicated single-image launches are order-invariant, so
+        # a residual cache hazard remains for those; the device-resident
+        # numbers (bench_e2e_device/stream) are the cache-immune metrics.
+        order = mixed[run:] + mixed[:run]
         t0 = time.monotonic()
-        report = engine.decode_named_blobs(mixed)
+        report = engine.decode_named_blobs(order)
         dt = time.monotonic() - t0
-        assert report.ok_count == len(mixed), [
+        assert report.ok_count == len(order), [
             r.error for r in report.results if not r.ok]
         rates.append(report.total_megapixels / dt)
         if time.monotonic() - t_all > 150:
@@ -341,19 +366,11 @@ def bench_e2e_stream(blobs) -> float:
     """Streaming ML-input-pipeline e2e (iter_decode_batches): host entropy
     decode of batch N+1 overlaps device decode of batch N.  Same
     device-resident accounting as bench_e2e_device; median of 3."""
-    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
     from pim_jpeg_decoder_tpu.models.input_pipeline import (
         iter_decode_batches,
     )
 
-    groups = {}
-    for _, d in blobs:
-        h = scan_jpeg(d)
-        groups.setdefault((h.width, h.height, h.mode_key), []).append(
-            (d, h.width * h.height / 1e6))
-    batch = max(groups.values(), key=len)
-    datas = [d for d, _ in batch]
-    mp = sum(m for _, m in batch)
+    datas, mp = largest_same_size_group(blobs)
     nb = max(2, len(datas) // 12)
     size = -(-len(datas) // nb)
     batches = [datas[i:i + size] for i in range(0, len(datas), size)]
@@ -462,13 +479,12 @@ def check_bit_exact(blobs, variety, mixed, reduced: bool = False) -> dict:
     # image's MCU count so _split_bands + accumulator paste run as real
     # multi-launch TPU decodes (the "no size ceiling" path the reference
     # rejects outright, reference: src/decoder_host.cpp:146-149).
-    banded_pool = [(n, d) for n, d in mixed
-                   if scan_jpeg(d).num_mcus > 1200]
+    banded_pool = [(n, d, scan_jpeg(d).num_mcus) for n, d in mixed]
+    banded_pool = [t for t in banded_pool if t[2] > 1200]
     if banded_pool:
-        bname, bdata = (min if reduced else max)(
-            banded_pool, key=lambda nd: scan_jpeg(nd[1]).num_mcus)
+        bname, bdata, n_mcus = (min if reduced else max)(
+            banded_pool, key=lambda t: t[2])
         cap = 512
-        n_mcus = scan_jpeg(bdata).num_mcus
         engine_b = DecodeEngine(keep_rgb=True, config=EngineConfig(
             budget_mcus=16384, max_launch_mcus=cap))
         rep = engine_b.decode_named_blobs([(bname, bdata)])
@@ -540,7 +556,13 @@ def check_bit_exact_cpu_subprocess() -> dict:
     in a subprocess — the dead-tunnel fallback's correctness signal."""
     import subprocess
     code = (
-        "import sys, json; sys.path.insert(0, %r); import bench; "
+        # The env var alone is NOT enough: the ambient axon plugin
+        # overrides JAX_PLATFORMS=cpu, so pin via jax.config BEFORE any
+        # backend init (same dance as tests/conftest.py) — otherwise this
+        # fallback targets the dead tunnel and burns its whole timeout.
+        "import sys, json; sys.path.insert(0, %r); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import bench; "
         "res = bench.check_bit_exact(bench.make_corpus()[:2], "
         "bench.make_variety_corpus(), "
         "bench.make_mixed_corpus(small_only=True), reduced=True); "

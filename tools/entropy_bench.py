@@ -10,6 +10,7 @@ Usage: python tools/entropy_bench.py [reps] [--prog]
 
 from __future__ import annotations
 
+import statistics
 import sys
 import time
 
@@ -35,24 +36,15 @@ def main() -> None:
         for h in headers:
             decode_scan_native(h)
         rates.append(mp / (time.monotonic() - t0))
-    rates.sort()
-    print(f"host_entropy_mps: median={rates[len(rates) // 2]:.1f} "
-          f"min={rates[0]:.1f} max={rates[-1]:.1f} over {reps} reps, "
+    print(f"host_entropy_mps: median={statistics.median(rates):.1f} "
+          f"min={min(rates):.1f} max={max(rates):.1f} over {reps} reps, "
           f"{len(blobs)} images, {mp:.1f} MP/pass")
 
     if "--prog" in sys.argv:
         from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
-        import io
 
-        from PIL import Image
-
-        pheaders = []
-        for _, d in blobs[:12]:
-            img = Image.open(io.BytesIO(d)).convert("RGB")
-            buf = io.BytesIO()
-            img.save(buf, format="JPEG", progressive=True, quality=75,
-                     subsampling=2)
-            pheaders.append(scan_jpeg(buf.getvalue()))
+        # The same fixture set bench.py times as host_progressive_mps.
+        pheaders = bench.make_progressive_headers(blobs)
         pmp = sum(h.width * h.height for h in pheaders) / 1e6
         decode_progressive(pheaders[0])
         prates = []
@@ -61,9 +53,9 @@ def main() -> None:
             for h in pheaders:
                 decode_progressive(h)
             prates.append(pmp / (time.monotonic() - t0))
-        prates.sort()
-        print(f"host_progressive_mps: median={prates[len(prates) // 2]:.1f} "
-              f"min={prates[0]:.1f} max={prates[-1]:.1f}")
+        print(f"host_progressive_mps: "
+              f"median={statistics.median(prates):.1f} "
+              f"min={min(prates):.1f} max={max(prates):.1f}")
 
 
 if __name__ == "__main__":

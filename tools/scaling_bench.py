@@ -6,8 +6,9 @@ pim_jpeg_decoder_tpu/parallel/multihost.py), then process 0 aggregates
 megapixels and wall time over DCN and reports throughput + scaling
 efficiency vs the single-process baseline.
 
-Run single-process (baseline):
-    python tools/scaling_bench.py
+Run single-process (baseline; --cpu pins the CPU backend so the number
+is comparable to the CPU-backend multi-process simulation below):
+    python tools/scaling_bench.py --cpu
 
 Run N processes on one machine (CPU backend, simulates N hosts):
     python tools/scaling_bench.py --num-processes 2 --process-id 0 &
@@ -27,7 +28,31 @@ import os
 import sys
 import time
 
-import numpy as np
+
+def _early_thread_caps() -> None:
+    """Split the machine's cores between the simulated hosts BEFORE numpy
+    loads: OpenBLAS reads OMP/OPENBLAS/MKL_NUM_THREADS at library load,
+    so setting them inside main() (after ``import numpy``) is a no-op and
+    the simulation would measure core thrash, not scaling."""
+    n = 0
+    argv = sys.argv
+    for i, a in enumerate(argv):
+        if a == "--num-processes" and i + 1 < len(argv):
+            n = int(argv[i + 1])
+            break
+        if a.startswith("--num-processes="):
+            n = int(a.split("=", 1)[1])
+            break
+    if n > 1:
+        per_proc = max(1, (os.cpu_count() or 8) // n)
+        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                    "MKL_NUM_THREADS"):
+            os.environ.setdefault(var, str(per_proc))
+
+
+_early_thread_caps()
+
+import numpy as np  # noqa: E402  (after the BLAS thread caps, see above)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -55,19 +80,19 @@ def main() -> None:
     parser.add_argument("--coordinator", default="localhost:9876")
     parser.add_argument("--images", type=int, default=32)
     parser.add_argument("--baseline-mps", type=float, default=None,
-                        help="single-process MP/s for efficiency reporting")
+                        help="single-process MP/s for efficiency reporting "
+                             "(measure it with --cpu so it matches the "
+                             "CPU-backend simulation)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin the CPU backend for the single-process "
+                             "baseline run")
     args = parser.parse_args()
 
     multi = args.num_processes is not None and args.num_processes > 1
     if multi:
-        # CPU-backend multi-process simulation of a multi-host pod.  Split
-        # the machine's cores between the simulated hosts: the interpret-
-        # mode kernel leans on threaded BLAS, and oversubscription otherwise
-        # makes the simulation measure thrash, not scaling.
-        per_proc = max(1, (os.cpu_count() or 8) // args.num_processes)
-        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
-                    "MKL_NUM_THREADS"):
-            os.environ.setdefault(var, str(per_proc))
+        # CPU-backend multi-process simulation of a multi-host pod.  The
+        # per-host BLAS thread caps were applied at module import (before
+        # numpy loaded) — see _early_thread_caps.
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -78,6 +103,12 @@ def main() -> None:
         )
     else:
         import jax
+        if args.cpu:
+            # The --baseline-mps denominator for the CPU simulation must
+            # itself be a CPU number (the ambient axon plugin would
+            # otherwise run this on the real chip — apples to oranges,
+            # and a hang when the tunnel is down).
+            jax.config.update("jax_platforms", "cpu")
 
     from pim_jpeg_decoder_tpu.parallel.multihost import partition_paths
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
