@@ -123,6 +123,18 @@ struct BitReader {
   inline bool exhausted() const { return overrun * 8 > cnt; }
 };
 
+// Defined-behavior helpers for signed fixed-point arithmetic: left shift
+// of a negative value and signed wraparound addition are UB in C++17;
+// route both through uint32_t (identical two's-complement bit patterns,
+// and what the optimizer emitted anyway -- UBSan-clean now).
+inline int32_t shl32(int32_t v, int32_t n) {
+  return static_cast<int32_t>(static_cast<uint32_t>(v) << n);
+}
+inline int32_t wrap_add32(int32_t a, int32_t b) {
+  return static_cast<int32_t>(static_cast<uint32_t>(a)
+                              + static_cast<uint32_t>(b));
+}
+
 // JPEG signed-magnitude EXTEND (ITU-T T.81 F.2.2.1).
 inline int32_t extend_signed(uint32_t value, int32_t size) {
   if (size == 0) return 0;
@@ -418,7 +430,7 @@ inline int32_t decode_block(BitReader& br, int16_t* out, const HuffTable& dc,
   if (t > 11) return ERR_BAD_DC_SIZE;
   int32_t diff = extend_signed(br.take_nofill(t), t);
   if (br.exhausted()) return ERR_OUT_OF_DATA;
-  *dc_pred += diff;
+  *dc_pred = wrap_add32(*dc_pred, diff);
   out[0] = static_cast<int16_t>(*dc_pred);
 
   int32_t k = 1;
@@ -506,14 +518,14 @@ inline int32_t decode_block_fast(FastState& fs, int16_t* out,
   const FastDc d = fdc[fs.peek12()];
   if (d.bits) {
     fs.consume(d.bits);
-    *dc_pred += d.value;
+    *dc_pred = wrap_add32(*dc_pred, d.value);
   } else {
     int32_t t;
     int32_t rc = decode_symbol_fs(fs, dc, &t);
     if (rc != OK) return rc;
     if (t > 11) return ERR_BAD_DC_SIZE;
     // <= 16 bits consumed since refill, so >= 40 remain: no refill needed.
-    *dc_pred += extend_signed(fs.take(t), t);
+    *dc_pred = wrap_add32(*dc_pred, extend_signed(fs.take(t), t));
   }
   out[0] = static_cast<int16_t>(*dc_pred);
 
@@ -605,8 +617,8 @@ inline int32_t dc_first(ProgState& st, int32_t* block, int ci,
   if (t > 11) return ERR_BAD_DC_SIZE;
   int32_t diff = extend_signed(st.br.read_bits(t), t);
   if (st.br.exhausted()) return ERR_OUT_OF_DATA;
-  st.preds[ci] += diff;
-  block[0] = st.preds[ci] << al;
+  st.preds[ci] = wrap_add32(st.preds[ci], diff);
+  block[0] = shl32(st.preds[ci], al);
   return OK;
 }
 
@@ -638,7 +650,7 @@ inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
         if (k > se) return ERR_AC_RANGE;
         st.br.drop((fa.packed & 0x0F) - (fa.packed >> 4));
         if (st.br.exhausted()) return ERR_OUT_OF_DATA;
-        block[k] = static_cast<int32_t>(fa.value) << al;
+        block[k] = shl32(fa.value, al);
         ++k;
       }
       continue;
@@ -660,7 +672,7 @@ inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
     }
     k += r;
     if (k > se) return ERR_AC_RANGE;
-    block[k] = extend_signed(st.br.read_bits(s), s) << al;
+    block[k] = shl32(extend_signed(st.br.read_bits(s), s), al);
     if (st.br.exhausted()) return ERR_OUT_OF_DATA;
     ++k;
   }
@@ -670,7 +682,7 @@ inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
 inline int32_t ac_refine(ProgState& st, int32_t* block, const HuffTable& ac,
                          int ss, int se, int al) {
   const int32_t p1 = 1 << al;
-  const int32_t m1 = -1 << al;
+  const int32_t m1 = shl32(-1, al);
   int k = ss;
 
   if (st.eobrun == 0) {
@@ -749,8 +761,8 @@ inline int32_t dc_first_fs(FastState& fs, int32_t* block, int ci,
     if (t > 11) return ERR_BAD_DC_SIZE;
     diff = extend_signed(fs.take(t), t);
   }
-  preds[ci] += diff;
-  block[0] = preds[ci] << al;
+  preds[ci] = wrap_add32(preds[ci], diff);
+  block[0] = shl32(preds[ci], al);
   return OK;
 }
 
@@ -792,7 +804,7 @@ inline int32_t ac_first_fs(FastState& fs, int32_t* block, const HuffTable& ac,
       }
       k += r;
       if (k > se) return ERR_AC_RANGE;
-      block[k] = extend_signed(fs.take(s), s) << al;
+      block[k] = shl32(extend_signed(fs.take(s), s), al);
       ++k;
       continue;
     }
@@ -806,18 +818,18 @@ inline int32_t ac_first_fs(FastState& fs, int32_t* block, const HuffTable& ac,
     if (k1 > se) return ERR_AC_RANGE;
     if ((fa.run2enc & 16) && k1 < se) {  // coefficient pair, non-terminal
       fs.consume(fa.bits2);
-      block[k1] = static_cast<int32_t>(fa.value) << al;
+      block[k1] = shl32(fa.value, al);
       const int32_t k2 = k1 + 1 + (fa.run2enc & 15);
       if (k2 > se) return ERR_AC_RANGE;
-      block[k2] = static_cast<int32_t>(fa.val2) << al;
+      block[k2] = shl32(fa.val2, al);
       k = k2 + 1;
     } else if ((fa.run2enc & 32) && k1 < se) {  // coefficient then EOB0
       fs.consume(fa.bits2);
-      block[k1] = static_cast<int32_t>(fa.value) << al;
+      block[k1] = shl32(fa.value, al);
       return OK;
     } else {
       fs.consume(fa.packed & 0x0F);
-      block[k1] = static_cast<int32_t>(fa.value) << al;
+      block[k1] = shl32(fa.value, al);
       k = k1 + 1;
     }
   }
@@ -828,7 +840,7 @@ inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
                             const FastAc* fac, int ss, int se, int al,
                             int64_t* eobrun) {
   const int32_t p1 = 1 << al;
-  const int32_t m1 = -1 << al;
+  const int32_t m1 = shl32(-1, al);
   int32_t k = ss;
 
   // Nonzero-history bitmap (bit j = block[j] != 0), built once per block:

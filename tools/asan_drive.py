@@ -15,8 +15,12 @@ property: the guarded fast path's byte-budget arithmetic
 the assertion directly.  Validated against the pre-fix kBlockSlack=232
 build: prong 3 reports the heap over-read at FastState::refill exactly.
 
-Usage: python tools/asan_drive.py [seed] [iters]   (re-execs itself
-under LD_PRELOAD=libasan.so; ~2-4 min for the default 250 iters)
+Usage: python tools/asan_drive.py [seed] [iters] [--ubsan]   (re-execs
+itself under LD_PRELOAD=libasan.so; ~2-4 min for the default 250 iters).
+--ubsan builds with -fsanitize=undefined instead: this found (and now
+guards against regressing) the signed-left-shift/wraparound UB in the
+progressive successive-approximation arithmetic, fixed via
+shl32/wrap_add32.
 """
 
 from __future__ import annotations
@@ -34,28 +38,34 @@ WORK = "/tmp/pim_jpeg_tpu/asan"
 SO = os.path.join(WORK, "entropy_asan.so")
 
 
-def _libasan() -> str:
-    out = subprocess.run(["g++", "-print-file-name=libasan.so"],
+def _librt(name: str) -> str:
+    out = subprocess.run(["g++", f"-print-file-name=lib{name}.so"],
                          capture_output=True, text=True, check=True)
     return out.stdout.strip()
 
 
-def _reexec_under_asan() -> None:
-    """Build the ASan .so and re-exec this script with libasan preloaded
-    (the runtime must be loaded before python for a dlopen'd ASan lib)."""
+def _reexec_under_sanitizer() -> None:
+    """Build the sanitized .so and re-exec this script with the sanitizer
+    runtime preloaded (it must load before python for a dlopen'd lib)."""
+    ubsan = "--ubsan" in sys.argv
+    san = "undefined" if ubsan else "address"
     os.makedirs(WORK, exist_ok=True)
     subprocess.run(
-        ["g++", "-O1", "-g", "-fsanitize=address", "-fno-omit-frame-pointer",
+        ["g++", "-O1", "-g", f"-fsanitize={san}",
+         "-fno-sanitize-recover=all", "-fno-omit-frame-pointer",
          "-march=native", "-std=c++17", "-shared", "-fPIC", SRC, "-o", SO],
         check=True, capture_output=True)
-    env = dict(os.environ, LD_PRELOAD=_libasan(),
-               ASAN_OPTIONS="detect_leaks=0", PJT_ASAN_CHILD="1")
+    env = dict(os.environ,
+               LD_PRELOAD=_librt("ubsan" if ubsan else "asan"),
+               ASAN_OPTIONS="detect_leaks=0",
+               UBSAN_OPTIONS="print_stacktrace=1:halt_on_error=1",
+               PJT_ASAN_CHILD="1")
     os.execve(sys.executable, [sys.executable, *sys.argv], env)
 
 
 def main() -> None:
     if os.environ.get("PJT_ASAN_CHILD") != "1":
-        _reexec_under_asan()
+        _reexec_under_sanitizer()
 
     import numpy as np
 
@@ -88,9 +98,9 @@ def main() -> None:
     from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
     from pim_jpeg_decoder_tpu.native.binding import decode_scan_cpp
 
-    rng = np.random.default_rng(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 0)
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    args = [a for a in sys.argv[1:] if a != "--ubsan"]
+    rng = np.random.default_rng(int(args[0]) if args else 0)
+    iters = int(args[1]) if len(args) > 1 else 250
     n_done = 0
 
     # 1. Encoder corpus + truncations.
@@ -233,7 +243,8 @@ def main() -> None:
             pass
         n_done += 1
 
-    print(f"ASAN-CLEAN {n_done} decodes")
+    san = "UBSAN" if "--ubsan" in sys.argv else "ASAN"
+    print(f"{san}-CLEAN {n_done} decodes")
 
 
 if __name__ == "__main__":
