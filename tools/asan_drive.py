@@ -243,6 +243,42 @@ def main() -> None:
             pass
         n_done += 1
 
+    # 4. The remaining native surfaces: destuff on adversarial byte
+    # soups, compact_wire at the int8 boundary, ycbcr_to_rgb across all
+    # sampling geometries (incl. ragged right/bottom MCU edges).
+    from pim_jpeg_decoder_tpu.native.binding import (
+        compact_wire_cpp,
+        destuff_cpp,
+        ycbcr_to_rgb_cpp,
+    )
+    for _ in range(iters):
+        n = int(rng.integers(0, 600))
+        soup = rng.integers(0, 256, n, np.uint8)
+        if rng.random() < 0.5:
+            soup[rng.random(n) < 0.3] = 0xFF  # marker/stuffing heavy
+        try:
+            destuff_cpp(soup.tobytes(), int(rng.integers(0, n + 1)),
+                        stop_at_marker=bool(rng.random() < 0.5))
+        except JpegError:
+            pass
+        lo, hi = (-128, 128) if rng.random() < 0.5 else (-300, 300)
+        coeffs = rng.integers(lo, hi, (int(rng.integers(1, 64)), 6, 64),
+                              np.int16)
+        compact_wire_cpp(coeffs)
+        v, hh = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+        ncomp = int(rng.choice([1, 3]))
+        if ncomp == 1:
+            v = hh = 1
+        g = v * hh + (2 if ncomp == 3 else 0)
+        rows, cols = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        m_total = rows * cols + int(rng.integers(0, 8))  # padded tail
+        planes = rng.integers(0, 256, (g, 64, m_total), np.uint8)
+        height = int(rng.integers(1, rows * v * 8 + 1))
+        width = int(rng.integers(1, cols * hh * 8 + 1))
+        ycbcr_to_rgb_cpp(planes, 0, v, hh, ncomp, rows, cols,
+                         height, width)
+        n_done += 3
+
     san = "UBSAN" if "--ubsan" in sys.argv else "ASAN"
     print(f"{san}-CLEAN {n_done} decodes")
 
