@@ -206,8 +206,11 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1,
         return out
 
     if segs_used > seg_offsets.size:
+        # Match the oracle's wording exactly: it fails at the FIRST absent
+        # segment index (== the available count), codec/entropy.py:176.
         raise JpegError(
-            f"Missing restart segment {seg_offsets.size} (have {segs_used})")
+            f"Missing restart segment {seg_offsets.size} "
+            f"(have {seg_offsets.size})")
 
     bounds = np.linspace(0, segs_used, threads + 1).astype(np.int32)
 
@@ -218,14 +221,26 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1,
             ctypes.byref(err_mcu))
         return rc, err_mcu
 
-    futures = [_segment_pool().submit(run_range, int(bounds[i]),
-                                      int(bounds[i + 1]))
-               for i in range(threads) if bounds[i] < bounds[i + 1]]
-    # Drain EVERY future before raising: the _vp pointers above keep no
-    # reference to the arrays, so an early raise would let this frame (the
-    # only owner of data/out/tables) die while later segment calls are
-    # still writing through the pointers (use-after-free).  Segments never
-    # block on each other, so the extra wait is bounded by one range.
+    # Drain EVERY submitted future before any raise leaves this frame:
+    # the _vp pointers above keep no reference to the arrays, so an early
+    # unwind would let this frame (the only owner of data/out/tables) die
+    # while segment calls are still writing through the pointers
+    # (use-after-free).  That covers both an erroring segment AND an
+    # exception (KeyboardInterrupt/MemoryError) landing mid-submit-loop.
+    # Segments never block on each other, so the wait is bounded.
+    futures = []
+    try:
+        for i in range(threads):
+            if bounds[i] < bounds[i + 1]:
+                futures.append(_segment_pool().submit(
+                    run_range, int(bounds[i]), int(bounds[i + 1])))
+    except BaseException:
+        for fut in futures:
+            try:
+                fut.result()
+            except BaseException:
+                pass
+        raise
     results = []
     first_exc: BaseException | None = None
     for fut in futures:
@@ -239,6 +254,34 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1,
     for rc, err_mcu in results:
         raise_on_error(rc, err_mcu)
     return out
+
+
+def _scan_slots(header, scan):
+    """Interleaved rule + block-slot rows for one progressive scan.
+
+    Returns ``(interleaved, slots, bw, bh)`` with ``slots`` a list of
+    ``(scan_comp_idx, comp_idx, qv, qh)`` tuples (the MCU's block slots in
+    decode order) and ``bw/bh`` the non-interleaved component block grid.
+    ONE implementation shared by the per-scan differential-reference path
+    and the production image-level path — the rule must never diverge
+    between them (semantics: codec/progressive._decode_one_scan)."""
+    spec = scan.spec
+    interleaved = scan.interleaved or (
+        spec.start_of_selection == 0
+        and len(scan.component_indices) == header.ncomp)
+    if interleaved:
+        slots = []
+        for i, ci in enumerate(scan.component_indices):
+            c = header.components[ci]
+            for qv in range(c.v):
+                for qh in range(c.h):
+                    slots.append((i, ci, qv, qh))
+        bw = bh = 0
+    else:
+        ci = scan.component_indices[0]
+        slots = [(0, ci, 0, 0)]
+        bw, bh = header.comp_blocks(ci)
+    return interleaved, slots, bw, bh
 
 
 def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
@@ -258,24 +301,11 @@ def decode_progressive_scan_cpp(header, scan, planes: np.ndarray,
     ss, se = spec.start_of_selection, spec.end_of_selection
     ah, al = spec.successive_high, spec.successive_low
 
-    interleaved = scan.interleaved or (
-        ss == 0 and len(scan.component_indices) == header.ncomp)
-
-    slot_scomp, slot_ci, slot_qv, slot_qh = [], [], [], []
-    if interleaved:
-        for i, ci in enumerate(scan.component_indices):
-            c = header.components[ci]
-            for qv in range(c.v):
-                for qh in range(c.h):
-                    slot_scomp.append(i)
-                    slot_ci.append(ci)
-                    slot_qv.append(qv)
-                    slot_qh.append(qh)
-        bw = bh = 0
-    else:
-        ci = scan.component_indices[0]
-        slot_scomp, slot_ci, slot_qv, slot_qh = [0], [ci], [0], [0]
-        bw, bh = header.comp_blocks(ci)
+    interleaved, slots, bw, bh = _scan_slots(header, scan)
+    slot_scomp = [s[0] for s in slots]
+    slot_ci = [s[1] for s in slots]
+    slot_qv = [s[2] for s in slots]
+    slot_qh = [s[3] for s in slots]
 
     nc = len(scan.component_indices)
     dc_counts = np.zeros((nc, 16), np.uint8)
@@ -451,7 +481,6 @@ def decode_progressive_image_cpp(header) -> np.ndarray:
         comp_v[ci] = c.v
         comp_h[ci] = c.h
         comp_bwp[ci] = sizes[ci][1]
-    comp_blocks = [header.comp_blocks(ci) for ci in range(ncomp)]
 
     # Flat per-scan staging.  Metadata rows accumulate in Python lists and
     # convert to the packed arrays in ONE np.array call each — per-element
@@ -476,22 +505,9 @@ def decode_progressive_image_cpp(header) -> np.ndarray:
         seg_idx_l.append(seg_idx_l[-1] + len(scan.segment_offsets))
 
         comp_indices = scan.component_indices
-        interleaved = scan.interleaved or (
-            spec.start_of_selection == 0
-            and len(comp_indices) == ncomp)
-        slot_row = []
-        if interleaved:
-            for i, ci in enumerate(comp_indices):
-                c = components[ci]
-                for qv in range(c.v):
-                    for qh in range(c.h):
-                        slot_row += (i, ci, qv, qh)
-            bw = bh = 0
-        else:
-            ci = comp_indices[0]
-            slot_row = [0, ci, 0, 0]
-            bw, bh = comp_blocks[ci]
-        ns = len(slot_row) // 4
+        interleaved, slots, bw, bh = _scan_slots(header, scan)
+        slot_row = [x for s in slots for x in s]
+        ns = len(slots)
         slot_row += (0,) * (40 - len(slot_row))
         slots_l.append(slot_row)
         scan_i32_l.append((spec.start_of_selection, spec.end_of_selection,
@@ -564,7 +580,8 @@ def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,
     bit-identical to the fused RGB kernel path (shared integer spec).
     """
     lib = load()
-    assert lib is not None
+    if lib is None:  # callers gate on native_available(), but fail loudly
+        raise RuntimeError("native entropy decoder unavailable")
     planes = np.ascontiguousarray(planes, np.uint8)
     out = np.empty((height, width, 3), np.uint8)
     rc = lib.pjt_ycbcr_to_rgb(

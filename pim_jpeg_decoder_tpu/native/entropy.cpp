@@ -588,7 +588,8 @@ inline int32_t decode_block_fast(FastState& fs, int16_t* out,
       }
       k += run;
       if (k > 63) return ERR_AC_RANGE;
-      // >= 56 - 24 - 16 = 16 bits remain; magnitude <= 10 fits.
+      // >= 56 - 24 - 16 = 16 bits remain; the max 15-bit magnitude fits
+      // with 1 bit spare (crafted tables reach size 15 -- see kBlockSlack).
       out[kZigzag[k]] =
           static_cast<int16_t>(extend_signed(fs.take(size), size));
       ++k;
