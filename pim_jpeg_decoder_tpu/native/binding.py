@@ -77,8 +77,9 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_ycbcr_to_rgb.restype = ctypes.c_int32
             lib.pjt_destuff.restype = ctypes.c_int32
             lib.pjt_compact_wire.restype = ctypes.c_int32
+            lib.pjt_bmp_rows.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 8:
+            if lib.pjt_abi_version() != 9:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -568,6 +569,24 @@ def decode_progressive_image_cpp(header) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"pjt_progressive_assemble failed: {rc}")
     return out
+
+
+def bmp_rows_cpp(rgb: np.ndarray, out: np.ndarray) -> bool:
+    """Fill ``out`` ([height, row_bytes] uint8) with bottom-up padded BGR
+    rows from ``rgb`` ([H, W, 3] uint8, C-contiguous) — the byte-movement
+    half of io/bmp.encode_bmp.  Returns False when the native library is
+    unavailable (caller falls back to NumPy)."""
+    lib = load()
+    if lib is None:
+        return False
+    rc = lib.pjt_bmp_rows(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(rgb.shape[0]), ctypes.c_int64(rgb.shape[1]),
+        ctypes.c_int64(out.shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"pjt_bmp_rows failed: {rc}")
+    return True
 
 
 def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,

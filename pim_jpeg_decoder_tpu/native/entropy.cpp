@@ -1623,13 +1623,67 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
           const uint8_t* crb =
               planes + static_cast<int64_t>((gy + 1) * 64 + cc) * m_total +
               base;
-          for (int mcu = 0; mcu < mcu_cols; ++mcu) {
-            const int col = mcu * h * 8 + col0;
-            if (col >= width) break;
+          // In-bounds MCU count for this output column phase.
+          int n = 0;
+          if (col0 < width) {
+            n = (width - 1 - col0) / (h * 8) + 1;
+            if (n > mcu_cols) n = mcu_cols;
+          }
+          const int stride3 = h * 8 * 3;
+          uint8_t* px0 = orow + static_cast<int64_t>(col0) * 3;
+          int mcu = 0;
+#if defined(__AVX2__)
+          // 8 MCUs per step: the BT.601 epi32 math vectorizes (loads are
+          // contiguous bytes); only the 3-byte pixel stores stay scalar
+          // (AVX2 has no scatter).  Identical integer ops -> identical
+          // bytes (mullo/srai/min/max == the scalar mul/>>/clamp).
+          const __m256i k128 = _mm256_set1_epi32(128);
+          const __m256i half = _mm256_set1_epi32(kColorHalf);
+          const __m256i crr = _mm256_set1_epi32(kFixCrR);
+          const __m256i cbg = _mm256_set1_epi32(kFixCbG);
+          const __m256i crg = _mm256_set1_epi32(kFixCrG);
+          const __m256i cbbk = _mm256_set1_epi32(kFixCbB);
+          const __m256i zero = _mm256_setzero_si256();
+          const __m256i v255 = _mm256_set1_epi32(255);
+          for (; mcu + 8 <= n; mcu += 8) {
+            const __m256i y = _mm256_cvtepu8_epi32(_mm_loadl_epi64(
+                reinterpret_cast<const __m128i*>(yb + mcu)));
+            const __m256i cb = _mm256_sub_epi32(
+                _mm256_cvtepu8_epi32(_mm_loadl_epi64(
+                    reinterpret_cast<const __m128i*>(cbb + mcu))), k128);
+            const __m256i cr = _mm256_sub_epi32(
+                _mm256_cvtepu8_epi32(_mm_loadl_epi64(
+                    reinterpret_cast<const __m128i*>(crb + mcu))), k128);
+            __m256i r = _mm256_add_epi32(y, _mm256_srai_epi32(
+                _mm256_add_epi32(_mm256_mullo_epi32(crr, cr), half),
+                kColorBits));
+            __m256i g = _mm256_add_epi32(y, _mm256_srai_epi32(
+                _mm256_add_epi32(_mm256_add_epi32(
+                    _mm256_mullo_epi32(cbg, cb),
+                    _mm256_mullo_epi32(crg, cr)), half), kColorBits));
+            __m256i b = _mm256_add_epi32(y, _mm256_srai_epi32(
+                _mm256_add_epi32(_mm256_mullo_epi32(cbbk, cb), half),
+                kColorBits));
+            r = _mm256_min_epi32(_mm256_max_epi32(r, zero), v255);
+            g = _mm256_min_epi32(_mm256_max_epi32(g, zero), v255);
+            b = _mm256_min_epi32(_mm256_max_epi32(b, zero), v255);
+            alignas(32) int32_t rr[8], gg[8], bb[8];
+            _mm256_store_si256(reinterpret_cast<__m256i*>(rr), r);
+            _mm256_store_si256(reinterpret_cast<__m256i*>(gg), g);
+            _mm256_store_si256(reinterpret_cast<__m256i*>(bb), b);
+            uint8_t* p = px0 + static_cast<int64_t>(mcu) * stride3;
+            for (int j = 0; j < 8; ++j, p += stride3) {
+              p[0] = static_cast<uint8_t>(rr[j]);
+              p[1] = static_cast<uint8_t>(gg[j]);
+              p[2] = static_cast<uint8_t>(bb[j]);
+            }
+          }
+#endif
+          for (; mcu < n; ++mcu) {
             const int32_t y128 = yb[mcu];
             const int32_t cb = static_cast<int32_t>(cbb[mcu]) - 128;
             const int32_t cr = static_cast<int32_t>(crb[mcu]) - 128;
-            uint8_t* px = orow + static_cast<int64_t>(col) * 3;
+            uint8_t* px = px0 + static_cast<int64_t>(mcu) * stride3;
             px[0] = clamp255(y128 + ((kFixCrR * cr + kColorHalf)
                                      >> kColorBits));
             px[1] = clamp255(y128 + ((kFixCbG * cb + kFixCrG * cr
@@ -1644,6 +1698,28 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 8; }
+// Bottom-up padded BGR pixel rows from a dense [H, W, 3] RGB array --
+// the byte-movement half of the BMP serializer (io/bmp.py owns headers
+// and format decisions).  One pass, no intermediate buffers: the NumPy
+// equivalent (reverse-strided gather + copy into the padded row buffer +
+// tobytes) costs ~6.5 ms/MP on one core; this loop is memory-bound.
+int32_t pjt_bmp_rows(const uint8_t* rgb, int64_t height, int64_t width,
+                     int64_t row_bytes, uint8_t* out) {
+  if (height <= 0 || width <= 0 || row_bytes < width * 3) return -7;
+  const int64_t pad = row_bytes - width * 3;
+  for (int64_t y = 0; y < height; ++y) {
+    const uint8_t* src = rgb + (height - 1 - y) * width * 3;
+    uint8_t* dst = out + y * row_bytes;
+    for (int64_t x = 0; x < width; ++x) {
+      dst[x * 3 + 0] = src[x * 3 + 2];
+      dst[x * 3 + 1] = src[x * 3 + 1];
+      dst[x * 3 + 2] = src[x * 3 + 0];
+    }
+    for (int64_t p = 0; p < pad; ++p) dst[width * 3 + p] = 0;
+  }
+  return 0;
+}
+
+int32_t pjt_abi_version() { return 9; }
 
 }  // extern "C"
