@@ -101,6 +101,17 @@ def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
     gh, gw = header.mcu_rows, header.mcu_cols
     v, h = mode.v, mode.h
     n = 8 // scale
+    out_h = -(-header.height // scale)
+    out_w = -(-header.width // scale)
+    # C++ fast path: one pass near the pixel-scatter floor (~4x the NumPy
+    # transpose chain on one core); byte-identical (equality-tested).
+    try:
+        from pim_jpeg_decoder_tpu.native.binding import raster_rgb_cpp
+        out = raster_rgb_cpp(raw_rgb, v, h, n, gh, gw, out_h, out_w)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     # Kernel-native slot pixel order is COLUMN-major: reshape as (px, py).
     img = (
         raw_rgb[..., : gh * gw]
@@ -108,8 +119,6 @@ def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
         .transpose(5, 1, 4, 6, 2, 3, 0)
         .reshape(gh * v * n, gw * h * n, 3)
     )
-    out_h = -(-header.height // scale)
-    out_w = -(-header.width // scale)
     return np.ascontiguousarray(img[:out_h, :out_w])
 
 

@@ -78,8 +78,9 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_destuff.restype = ctypes.c_int32
             lib.pjt_compact_wire.restype = ctypes.c_int32
             lib.pjt_bmp_rows.restype = ctypes.c_int32
+            lib.pjt_raster_rgb.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 9:
+            if lib.pjt_abi_version() != 10:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -587,6 +588,30 @@ def bmp_rows_cpp(rgb: np.ndarray, out: np.ndarray) -> bool:
     if rc != 0:
         raise RuntimeError(f"pjt_bmp_rows failed: {rc}")
     return True
+
+
+def raster_rgb_cpp(raw: np.ndarray, v: int, h: int, n: int,
+                   mcu_rows: int, mcu_cols: int, out_h: int,
+                   out_w: int):
+    """Raster-assemble kernel-native raw RGB ``[3, V*H, n*n, M]`` uint8
+    into ``[out_h, out_w, 3]`` (models.pipeline.assemble_raster_raw_scaled
+    semantics).  Returns None when the native library is unavailable or
+    the input is not C-contiguous uint8 (caller falls back to NumPy)."""
+    lib = load()
+    if (lib is None or raw.dtype != np.uint8
+            or not raw.flags.c_contiguous):
+        return None
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.pjt_raster_rgb(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(raw.shape[3]), ctypes.c_int32(v), ctypes.c_int32(h),
+        ctypes.c_int32(n), ctypes.c_int32(mcu_rows),
+        ctypes.c_int32(mcu_cols), ctypes.c_int32(out_h),
+        ctypes.c_int32(out_w),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"pjt_raster_rgb failed: {rc}")
+    return out
 
 
 def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,

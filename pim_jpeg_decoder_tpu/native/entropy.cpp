@@ -1720,6 +1720,59 @@ int32_t pjt_bmp_rows(const uint8_t* rgb, int64_t height, int64_t width,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 9; }
+// Kernel-native raw RGB [3, V*H, n*n, M] (column-major slot pixel order,
+// c = px*n + py) -> raster [out_h, out_w, 3] rows.  Pure layout inverse
+// (models/pipeline.assemble_raster_raw_scaled semantics): three
+// contiguous input streams per (slot, pixel) phase, strided 3-byte
+// stores bounded to one output row -- the NumPy transpose chain costs
+// ~5.7 ms/MP on one core; this loop sits near the pixel-scatter floor.
+int32_t pjt_raster_rgb(const uint8_t* raw, int64_t m_total, int32_t v,
+                       int32_t h, int32_t n, int32_t mcu_rows,
+                       int32_t mcu_cols, int32_t out_h, int32_t out_w,
+                       uint8_t* out) {
+  if (v < 1 || h < 1 || n < 1 || n > 8 || m_total < 1) return -7;
+  const int gy = v * h;
+  const int nn = n * n;
+  const int stride3 = h * n * 3;
+  for (int gr = 0; gr < mcu_rows; ++gr) {
+    const int64_t base = static_cast<int64_t>(gr) * mcu_cols;
+    for (int s = 0; s < gy; ++s) {
+      const int qv = s / h;
+      const int qh = s % h;
+      for (int cy = 0; cy < n; ++cy) {
+        const int row = (gr * v + qv) * n + cy;
+        if (row >= out_h) continue;
+        uint8_t* orow = out + static_cast<int64_t>(row) * out_w * 3;
+        for (int cx = 0; cx < n; ++cx) {
+          const int c = cx * n + cy;
+          const uint8_t* rb =
+              raw + (static_cast<int64_t>(0 * gy + s) * nn + c) * m_total +
+              base;
+          const uint8_t* gb =
+              raw + (static_cast<int64_t>(1 * gy + s) * nn + c) * m_total +
+              base;
+          const uint8_t* bb =
+              raw + (static_cast<int64_t>(2 * gy + s) * nn + c) * m_total +
+              base;
+          const int col0 = qh * n + cx;
+          int ncols = 0;
+          if (col0 < out_w) {
+            ncols = (out_w - 1 - col0) / (h * n) + 1;
+            if (ncols > mcu_cols) ncols = mcu_cols;
+          }
+          uint8_t* px = orow + static_cast<int64_t>(col0) * 3;
+          for (int mcu = 0; mcu < ncols; ++mcu, px += stride3) {
+            px[0] = rb[mcu];
+            px[1] = gb[mcu];
+            px[2] = bb[mcu];
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+int32_t pjt_abi_version() { return 10; }
 
 }  // extern "C"

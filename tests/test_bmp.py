@@ -97,3 +97,24 @@ class TestBmpInfoHeaderFallback:
             shape = (65535, 65535, 3)
         with pytest.raises(ValueError, match="4 GiB"):
             encode_bmp(FakeRGB())
+
+
+def test_native_rows_match_numpy(rng):
+    """encode_bmp's C++ row serializer must be byte-identical to the
+    NumPy fallback (incl. row padding and the INFOHEADER fallback)."""
+    from pim_jpeg_decoder_tpu.io import bmp
+    from pim_jpeg_decoder_tpu.native import binding as B
+
+    if B.load() is None:
+        pytest.skip("native library unavailable")
+    for h, w in [(1, 1), (7, 5), (8, 4), (33, 31), (64, 66), (2, 65537)]:
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        a = bmp.encode_bmp(rgb)
+        real = B.load
+        B.load = lambda: None
+        try:
+            b = bmp.encode_bmp(rgb)
+        finally:
+            B.load = real
+        assert a == b, (h, w)
+        np.testing.assert_array_equal(bmp.read_bmp(a), rgb)

@@ -183,3 +183,41 @@ class TestInt8CoefficientWire:
     def test_config_rejects_bad_wire(self):
         with pytest.raises(ValueError):
             EngineConfig(wire="int8").validate()
+
+
+class TestNativeAssemblyParity:
+    """The C++ raster fast path (pjt_raster_rgb) must be byte-identical
+    to the NumPy transpose chain for every sampling geometry and scale
+    (it encodes the column-major slot-pixel-order contract a second
+    time, so parity is load-bearing)."""
+
+    def test_matches_numpy_across_modes_and_scales(self, rng):
+        from pim_jpeg_decoder_tpu.codec.header import Component, JpegHeader
+        from pim_jpeg_decoder_tpu.models import pipeline as P
+        from pim_jpeg_decoder_tpu.native import binding as B
+        from pim_jpeg_decoder_tpu.ops import specs as S
+
+        if B.load() is None:
+            pytest.skip("native library unavailable")
+        for (v, h, nc), hh, ww in [((1, 1, 3), 61, 67), ((2, 2, 3), 61, 67),
+                                   ((2, 1, 3), 40, 33), ((1, 2, 3), 24, 50),
+                                   ((1, 1, 1), 31, 17)]:
+            comps = [Component(i, (h if i == 0 else 1),
+                               (v if i == 0 else 1), 0) for i in range(nc)]
+            hdr = JpegHeader(width=ww, height=hh, components=comps,
+                             dc_tables={}, ac_tables={})
+            mode = S.mode_for(hdr.mode_key)
+            for scale in (1, 2, 4, 8):
+                n = 8 // scale
+                m = hdr.mcu_rows * hdr.mcu_cols + 17  # padded lanes
+                raw = rng.integers(0, 256, (3, mode.v * mode.h, n * n, m),
+                                   np.uint8)
+                a = P.assemble_raster_raw_scaled(hdr, raw, scale)
+                real = B.load
+                B.load = lambda: None  # force the NumPy path
+                try:
+                    b = P.assemble_raster_raw_scaled(hdr, raw, scale)
+                finally:
+                    B.load = real
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"mode {(v, h, nc)} scale {scale}")

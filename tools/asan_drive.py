@@ -76,9 +76,9 @@ def main() -> None:
                "pjt_decode_progressive_scan",
                "pjt_decode_progressive_image", "pjt_progressive_assemble",
                "pjt_ycbcr_to_rgb", "pjt_destuff", "pjt_compact_wire",
-               "pjt_bmp_rows", "pjt_abi_version"):
+               "pjt_bmp_rows", "pjt_raster_rgb", "pjt_abi_version"):
         getattr(lib, fn).restype = ctypes.c_int32
-    assert lib.pjt_abi_version() == 9
+    assert lib.pjt_abi_version() == 10
     with binding._lock:
         binding._lib = lib
         binding._load_failed = False
@@ -277,7 +277,14 @@ def main() -> None:
         width = int(rng.integers(1, cols * hh * 8 + 1))
         ycbcr_to_rgb_cpp(planes, 0, v, hh, ncomp, rows, cols,
                          height, width)
-        n_done += 3
+        from pim_jpeg_decoder_tpu.native.binding import raster_rgb_cpp
+        nsc = int(rng.choice([8, 4, 2, 1]))
+        raw = rng.integers(0, 256, (3, v * hh, nsc * nsc, m_total),
+                           np.uint8)
+        raster_rgb_cpp(raw, v, hh, nsc, rows, cols,
+                       int(rng.integers(1, rows * v * nsc + 1)),
+                       int(rng.integers(1, cols * hh * nsc + 1)))
+        n_done += 4
 
     san = "UBSAN" if "--ubsan" in sys.argv else "ASAN"
     print(f"{san}-CLEAN {n_done} decodes")
