@@ -339,24 +339,46 @@ class DecodeEngine:
                                scale=self.scale), key
 
     def _finish_batch(self, batch: Batch, raw_rgb_dev, timers: StageTimers,
-                      write: bool, results: Dict[int, FileResult]) -> None:
+                      write: bool, results: Dict[int, FileResult],
+                      finish_pool=None) -> None:
         ycbcr = batch.transport == "ycbcr"
         with timers.stage("d2h"):
             # [g, 64, budget] YCbCr planes or [3, luma_slots, 64, budget] RGB
             raw = np.asarray(raw_rgb_dev)
+
+        def finish_safe(img, off) -> None:
+            # Per-image isolation: an assembly/write failure must not
+            # poison the other images of the batch (validate-and-skip,
+            # reference: src/decoder_host.cpp:120-123).
+            try:
+                self._finish_image(img, off, raw, ycbcr, write, results)
+            except Exception as e:
+                logger.error("finishing %s failed: %s", img.name, e)
+                if img.band_target is not None:
+                    img.band_target[0].failed = True
+                results[img.uid] = FileResult(
+                    img.name, False, error=f"output failed: {e}")
+
         with timers.stage("write"):
-            for img, off in batch.images:
-                # Per-image isolation: an assembly/write failure must not
-                # poison the other images of the batch (validate-and-skip,
-                # reference: src/decoder_host.cpp:120-123).
-                try:
-                    self._finish_image(img, off, raw, ycbcr, write, results)
-                except Exception as e:
-                    logger.error("finishing %s failed: %s", img.name, e)
+            # Fan independent images across the finish pool (the C++
+            # finishers release the GIL); banded images run here on the
+            # consumer thread — the accumulator bookkeeping is not
+            # thread-safe, and band tiles must land in batch order.
+            pooled = []
+            if finish_pool is not None and len(batch.images) > 1:
+                pooled = [(img, off) for img, off in batch.images
+                          if img.band_target is None]
+            if len(pooled) > 1:
+                futures = [finish_pool.submit(finish_safe, img, off)
+                           for img, off in pooled]
+                for img, off in batch.images:
                     if img.band_target is not None:
-                        img.band_target[0].failed = True
-                    results[img.uid] = FileResult(
-                        img.name, False, error=f"output failed: {e}")
+                        finish_safe(img, off)
+                for fut in futures:
+                    fut.result()  # finish_safe never raises
+            else:
+                for img, off in batch.images:
+                    finish_safe(img, off)
 
     def _finish_image(self, img, off, raw, ycbcr: bool, write: bool,
                       results: Dict[int, FileResult]) -> None:
@@ -423,11 +445,21 @@ class DecodeEngine:
         def consumer() -> None:
             import collections
             pending = collections.deque()  # depth-2 device pipeline
+            # Per-image finishing (raster assembly + color + BMP) is C++
+            # with the GIL released, so a multi-image batch fans out
+            # across threads — on a many-core host the consumer thread
+            # would otherwise serialize ~3 ms/MP of finish work behind
+            # every dispatch.  Banded images stay on the consumer thread
+            # (the band accumulator's bookkeeping is not thread-safe).
+            finish_pool = (ThreadPoolExecutor(self.prepare_threads,
+                                              thread_name_prefix="pjt-fin")
+                           if self.prepare_threads > 1 else None)
 
             def drain_one() -> None:
                 batch, dev = pending.popleft()
                 try:
-                    self._finish_batch(batch, dev, timers, write, results)
+                    self._finish_batch(batch, dev, timers, write, results,
+                                       finish_pool)
                 except Exception as e:  # record, don't kill the pipeline
                     logger.error("device decode failed: %s", e)
                     for img, _ in batch.images:
@@ -469,6 +501,8 @@ class DecodeEngine:
                     drain_one()
             while pending:
                 drain_one()
+            if finish_pool is not None:
+                finish_pool.shutdown(wait=True)
 
         consumer_thread = threading.Thread(target=consumer, daemon=True)
         consumer_thread.start()
