@@ -159,6 +159,38 @@ def bench_host_entropy(blobs) -> float:
     return mp / (time.monotonic() - t0)
 
 
+def bench_host_finishers(blobs) -> tuple:
+    """(host_color_mps, host_bmp_mps): the BMP path's per-core host
+    finishers — AVX2 upsample+BT.601 from the YCbCr wire layout and the
+    native BMP row serializer (both C++, GIL released; see
+    docs/deployment.md budget table)."""
+    import statistics as _st
+
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+    from pim_jpeg_decoder_tpu.io.bmp import encode_bmp
+    from pim_jpeg_decoder_tpu.native.binding import ycbcr_to_rgb_cpp
+
+    h = scan_jpeg(blobs[0][1])
+    mp = h.width * h.height / 1e6
+    rng = np.random.default_rng(0)
+    g = 6  # 4:2:0 slot count
+    rows420, cols420 = -(-h.height // 16), -(-h.width // 16)
+    planes = rng.integers(0, 256, (g, 64, rows420 * cols420), np.uint8)
+    rgb = rng.integers(0, 256, (h.height, h.width, 3), np.uint8)
+    color, bmp = [], []
+    for _ in range(5):
+        t0 = time.monotonic()
+        for _ in range(20):
+            ycbcr_to_rgb_cpp(planes, 0, 2, 2, 3, rows420, cols420,
+                             h.height, h.width)
+        color.append(20 * mp / (time.monotonic() - t0))
+        t0 = time.monotonic()
+        for _ in range(20):
+            encode_bmp(rgb)
+        bmp.append(20 * mp / (time.monotonic() - t0))
+    return _st.median(color), _st.median(bmp)
+
+
 def make_progressive_headers(blobs, n: int = 12):
     """Progressive (SOF2) re-encodes of the corpus head, parsed — the
     fixture set for host_progressive_mps (shared with
@@ -587,6 +619,7 @@ def main_host_only() -> None:
     blobs = make_corpus()
     entropy_mps = bench_host_entropy(blobs)
     progressive_mps = bench_progressive(blobs)
+    color_mps, bmp_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
     exact = check_bit_exact_cpu_subprocess()
     result = {
@@ -599,6 +632,8 @@ def main_host_only() -> None:
                  "out); host numbers + CPU-backend bit-exact sweep only"),
         "host_entropy_mps": round(entropy_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
+        "host_color_mps": round(color_mps, 1),
+        "host_bmp_mps": round(bmp_mps, 1),
         "pil_single_thread_mps": round(pil_mps, 1),
         "bit_exact_vs_oracle": exact["ok"],
         "bit_exact_images": exact["images"],
@@ -630,6 +665,7 @@ def main() -> None:
     e2e_mixed_mps = bench_e2e_mixed(mixed)
     entropy_mps = bench_host_entropy(blobs)
     progressive_mps = bench_progressive(blobs)
+    color_mps, bmp_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
     exact = check_bit_exact(blobs, variety, mixed, reduced=crawl)
 
@@ -647,6 +683,8 @@ def main() -> None:
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
+        "host_color_mps": round(color_mps, 1),
+        "host_bmp_mps": round(bmp_mps, 1),
         "pil_single_thread_mps": round(pil_mps, 1),
         "bit_exact_vs_oracle": exact["ok"],
         "bit_exact_images": exact["images"],
