@@ -393,3 +393,32 @@ def test_prepare_window_handles_many_items_with_failures(rng):
             assert res.ok, res.error
             want = decode_bytes_oracle(blobs[k][1]).rgb
             np.testing.assert_array_equal(res.rgb, want)
+
+
+def test_parallel_finish_failure_isolation(rng):
+    """A finisher failure inside the finish pool is a per-file error; the
+    batch's other images still complete (validate-and-skip parity)."""
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+    cfg = EngineConfig(budget_mcus=512, lane_tile=128, prepare_threads=2,
+                       num_devices=1)
+    engine = DecodeEngine(keep_rgb=True, config=cfg)
+    orig = engine._finish_image
+
+    def flaky(img, off, raw, ycbcr, write, results):
+        if img.name == "bad":
+            raise RuntimeError("synthetic finisher failure")
+        return orig(img, off, raw, ycbcr, write, results)
+
+    engine._finish_image = flaky
+    blobs = []
+    for name in ("a", "bad", "c"):
+        img = rng.integers(0, 256, (48, 48, 3), np.uint8)
+        blobs.append((name, encode_jpeg(img, quality=80, sampling="4:2:0")))
+    report = engine.decode_named_blobs(blobs)
+    by_name = {r.name: r for r in report.results}
+    assert by_name["a"].ok and by_name["c"].ok
+    assert not by_name["bad"].ok
+    assert "output failed" in by_name["bad"].error
+    for nm in ("a", "c"):
+        want = decode_bytes_oracle(dict(blobs)[nm]).rgb
+        np.testing.assert_array_equal(by_name[nm].rgb, want)
