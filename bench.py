@@ -168,7 +168,11 @@ def bench_host_finishers(blobs) -> tuple:
 
     from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
     from pim_jpeg_decoder_tpu.io.bmp import encode_bmp
+    from pim_jpeg_decoder_tpu.native import native_available
     from pim_jpeg_decoder_tpu.native.binding import ycbcr_to_rgb_cpp
+
+    if not native_available():
+        return 0.0, 0.0  # pure-Python fallback host: fields stay honest
 
     h = scan_jpeg(blobs[0][1])
     mp = h.width * h.height / 1e6

@@ -70,11 +70,13 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     buf[14:offset] = dib
     rows = np.frombuffer(buf, np.uint8, height * row_bytes,
                          offset).reshape(height, row_bytes)
-    try:
-        from pim_jpeg_decoder_tpu.native.binding import bmp_rows_cpp
-        native_ok = bmp_rows_cpp(np.ascontiguousarray(rgb), rows)
-    except ImportError:
-        native_ok = False
+    native_ok = False
+    if height > 0 and width > 0:  # degenerate dims: NumPy path only
+        try:
+            from pim_jpeg_decoder_tpu.native.binding import bmp_rows_cpp
+            native_ok = bmp_rows_cpp(np.ascontiguousarray(rgb), rows)
+        except ImportError:
+            pass
     if not native_ok:
         rows[:, width * 3:] = 0
         rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)

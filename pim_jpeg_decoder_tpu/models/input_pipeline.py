@@ -158,13 +158,16 @@ def _prep_pool(workers: int):
 def _entropy_decode_pool(headers, prepare_threads: int, outs=None):
     """Entropy decode in parallel (the C++ decoder releases the GIL).
     ``outs`` (optional) are per-header caller-zeroed destination arrays
-    (transport-buffer slices), passed through to ``entropy_decode``."""
+    (transport-buffer slices), passed through to ``entropy_decode``.
+    The pool is keyed by ``prepare_threads`` alone (ragged batch sizes
+    must not mint extra pools — the worker count is the host-CPU budget,
+    and a small batch simply leaves workers idle)."""
     if outs is None:
         outs = [None] * len(headers)
-    workers = max(1, min(prepare_threads, len(headers)))
-    if workers == 1:
+    if prepare_threads <= 1 or len(headers) == 1:
         return [entropy_decode(h, o) for h, o in zip(headers, outs)]
-    return list(_prep_pool(workers).map(entropy_decode, headers, outs))
+    return list(_prep_pool(max(1, prepare_threads)).map(
+        entropy_decode, headers, outs))
 
 
 def _check_wire(wire: str) -> None:

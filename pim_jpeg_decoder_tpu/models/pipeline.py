@@ -84,19 +84,24 @@ def assemble_raster_slots(header: JpegHeader, slot_rgb: np.ndarray) -> np.ndarra
     return np.ascontiguousarray(img[: header.height, : header.width])
 
 
-def assemble_raster_raw(header: JpegHeader, raw_rgb: np.ndarray) -> np.ndarray:
-    """Kernel-native output ``[3, luma_slots, 64, num_mcus]`` -> ``[H, W, 3]``.
+def assemble_raster_raw(header: JpegHeader, raw_rgb: np.ndarray,
+                        mcu_off: int = 0) -> np.ndarray:
+    """Kernel-native output ``[3, luma_slots, 64, M]`` -> ``[H, W, 3]``.
 
     Same single vectorized pass as :func:`assemble_raster_slots`, consuming
     the raw (transpose-free, ~4x faster on device) kernel layout.
+    ``mcu_off``: the image's MCU offset within a (padded, multi-image)
+    batch buffer — pass the FULL buffer, not a slice, so the C++ fast
+    path's contiguity requirement holds.
     """
-    return assemble_raster_raw_scaled(header, raw_rgb, 1)
+    return assemble_raster_raw_scaled(header, raw_rgb, 1, mcu_off)
 
 
 def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
-                               scale: int) -> np.ndarray:
+                               scale: int, mcu_off: int = 0) -> np.ndarray:
     """Scaled-decode kernel output ``[3, luma_slots, nn, M]`` ->
-    ``[ceil(H/scale), ceil(W/scale), 3]`` (nn = (8/scale)^2)."""
+    ``[ceil(H/scale), ceil(W/scale), 3]`` (nn = (8/scale)^2); ``mcu_off``
+    as in :func:`assemble_raster_raw`."""
     mode = S.mode_for(header.mode_key)
     gh, gw = header.mcu_rows, header.mcu_cols
     v, h = mode.v, mode.h
@@ -107,14 +112,15 @@ def assemble_raster_raw_scaled(header: JpegHeader, raw_rgb: np.ndarray,
     # transpose chain on one core); byte-identical (equality-tested).
     try:
         from pim_jpeg_decoder_tpu.native.binding import raster_rgb_cpp
-        out = raster_rgb_cpp(raw_rgb, v, h, n, gh, gw, out_h, out_w)
+        out = raster_rgb_cpp(raw_rgb, v, h, n, gh, gw, out_h, out_w,
+                             mcu_off=mcu_off)
         if out is not None:
             return out
     except ImportError:
         pass
     # Kernel-native slot pixel order is COLUMN-major: reshape as (px, py).
     img = (
-        raw_rgb[..., : gh * gw]
+        raw_rgb[..., mcu_off:mcu_off + gh * gw]
         .reshape(3, v, h, n, n, gh, gw)
         .transpose(5, 1, 4, 6, 2, 3, 0)
         .reshape(gh * v * n, gw * h * n, 3)

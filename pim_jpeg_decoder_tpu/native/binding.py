@@ -80,7 +80,7 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_bmp_rows.restype = ctypes.c_int32
             lib.pjt_raster_rgb.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 10:
+            if lib.pjt_abi_version() != 11:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -592,19 +592,26 @@ def bmp_rows_cpp(rgb: np.ndarray, out: np.ndarray) -> bool:
 
 def raster_rgb_cpp(raw: np.ndarray, v: int, h: int, n: int,
                    mcu_rows: int, mcu_cols: int, out_h: int,
-                   out_w: int):
+                   out_w: int, mcu_off: int = 0):
     """Raster-assemble kernel-native raw RGB ``[3, V*H, n*n, M]`` uint8
     into ``[out_h, out_w, 3]`` (models.pipeline.assemble_raster_raw_scaled
-    semantics).  Returns None when the native library is unavailable or
-    the input is not C-contiguous uint8 (caller falls back to NumPy)."""
+    semantics), reading the image's MCUs at ``mcu_off`` within the (padded,
+    possibly multi-image) batch buffer — so the engine can pass the FULL
+    launch buffer instead of a non-contiguous slice.  Returns None when
+    the native library is unavailable or the input is not the expected
+    C-contiguous uint8 geometry (caller falls back to NumPy)."""
     lib = load()
     if (lib is None or raw.dtype != np.uint8
-            or not raw.flags.c_contiguous):
+            or not raw.flags.c_contiguous
+            or raw.ndim != 4 or raw.shape[0] != 3
+            or raw.shape[1] != v * h or raw.shape[2] != n * n
+            or mcu_off + mcu_rows * mcu_cols > raw.shape[3]):
         return None
     out = np.empty((out_h, out_w, 3), np.uint8)
     rc = lib.pjt_raster_rgb(
         raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(raw.shape[3]), ctypes.c_int32(v), ctypes.c_int32(h),
+        ctypes.c_int64(raw.shape[3]), ctypes.c_int64(mcu_off),
+        ctypes.c_int32(v), ctypes.c_int32(h),
         ctypes.c_int32(n), ctypes.c_int32(mcu_rows),
         ctypes.c_int32(mcu_cols), ctypes.c_int32(out_h),
         ctypes.c_int32(out_w),

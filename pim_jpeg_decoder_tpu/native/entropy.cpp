@@ -1726,16 +1726,19 @@ int32_t pjt_bmp_rows(const uint8_t* rgb, int64_t height, int64_t width,
 // contiguous input streams per (slot, pixel) phase, strided 3-byte
 // stores bounded to one output row -- the NumPy transpose chain costs
 // ~5.7 ms/MP on one core; this loop sits near the pixel-scatter floor.
-int32_t pjt_raster_rgb(const uint8_t* raw, int64_t m_total, int32_t v,
-                       int32_t h, int32_t n, int32_t mcu_rows,
-                       int32_t mcu_cols, int32_t out_h, int32_t out_w,
-                       uint8_t* out) {
-  if (v < 1 || h < 1 || n < 1 || n > 8 || m_total < 1) return -7;
+int32_t pjt_raster_rgb(const uint8_t* raw, int64_t m_total,
+                       int64_t mcu_off, int32_t v, int32_t h, int32_t n,
+                       int32_t mcu_rows, int32_t mcu_cols, int32_t out_h,
+                       int32_t out_w, uint8_t* out) {
+  if (v < 1 || h < 1 || n < 1 || n > 8 || m_total < 1 || mcu_off < 0 ||
+      mcu_off + static_cast<int64_t>(mcu_rows) * mcu_cols > m_total) {
+    return -7;
+  }
   const int gy = v * h;
   const int nn = n * n;
   const int stride3 = h * n * 3;
   for (int gr = 0; gr < mcu_rows; ++gr) {
-    const int64_t base = static_cast<int64_t>(gr) * mcu_cols;
+    const int64_t base = mcu_off + static_cast<int64_t>(gr) * mcu_cols;
     for (int s = 0; s < gy; ++s) {
       const int qv = s / h;
       const int qh = s % h;
@@ -1773,6 +1776,6 @@ int32_t pjt_raster_rgb(const uint8_t* raw, int64_t m_total, int32_t v,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 10; }
+int32_t pjt_abi_version() { return 11; }
 
 }  // extern "C"

@@ -366,13 +366,21 @@ class DecodeEngine:
             # thread-safe, and band tiles must land in batch order.
             pooled = []
             if finish_pool is not None and len(batch.images) > 1:
+                # Duplicate input names share one BMP output path; a
+                # concurrent write would interleave — keep duplicates
+                # (and banded images) on the consumer thread.
+                names = [img.name for img, _ in batch.images]
+                dup = {nm for nm in names if names.count(nm) > 1} \
+                    if write else set()
                 pooled = [(img, off) for img, off in batch.images
-                          if img.band_target is None]
+                          if img.band_target is None
+                          and img.name not in dup]
             if len(pooled) > 1:
+                in_pool = {id(img) for img, _ in pooled}
                 futures = [finish_pool.submit(finish_safe, img, off)
                            for img, off in pooled]
                 for img, off in batch.images:
-                    if img.band_target is not None:
+                    if id(img) not in in_pool:
                         finish_safe(img, off)
                 for fut in futures:
                     fut.result()  # finish_safe never raises
@@ -382,14 +390,16 @@ class DecodeEngine:
 
     def _finish_image(self, img, off, raw, ycbcr: bool, write: bool,
                       results: Dict[int, FileResult]) -> None:
-        n = img.header.num_mcus
         if ycbcr:
             rgb = assemble_raster_ycbcr(img.header, raw, mcu_off=off)
         elif self.scale != 1:
-            rgb = assemble_raster_raw_scaled(
-                img.header, raw[..., off:off + n], self.scale)
+            # Pass the FULL batch buffer + offset: a lane-padded slice is
+            # never C-contiguous and would silently bypass the C++ fast
+            # path (and hold the GIL through the NumPy fallback).
+            rgb = assemble_raster_raw_scaled(img.header, raw, self.scale,
+                                             mcu_off=off)
         else:
-            rgb = assemble_raster_raw(img.header, raw[..., off:off + n])
+            rgb = assemble_raster_raw(img.header, raw, mcu_off=off)
         if img.band_target is not None:
             acc, y0, x0 = img.band_target
             acc.raster[y0:y0 + rgb.shape[0], x0:x0 + rgb.shape[1]] = rgb
