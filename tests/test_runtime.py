@@ -422,3 +422,35 @@ def test_parallel_finish_failure_isolation(rng):
     for nm in ("a", "c"):
         want = decode_bytes_oracle(dict(blobs)[nm]).rgb
         np.testing.assert_array_equal(by_name[nm].rgb, want)
+
+
+def test_engine_engages_native_raster_path(rng, monkeypatch):
+    """Guard against the silent-fallback class: the engine must hand the
+    FULL (contiguous) launch buffer to the C++ raster fast path — a
+    padded slice fails its contiguity gate and quietly routes every
+    decode through the NumPy chain (found in review; this pins it)."""
+    from pim_jpeg_decoder_tpu.native import binding as B
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    if B.load() is None:
+        pytest.skip("native library unavailable")
+    calls = {"n": 0}
+    orig = B.raster_rgb_cpp
+
+    def counting(*a, **kw):
+        out = orig(*a, **kw)
+        if out is not None:
+            calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(B, "raster_rgb_cpp", counting)
+    blobs = [(f"i{k}", encode_jpeg(
+        rng.integers(0, 256, (64, 80, 3), np.uint8),
+        quality=85, sampling="4:4:4")) for k in range(3)]
+    cfg = EngineConfig(budget_mcus=512, lane_tile=128, prepare_threads=2,
+                       num_devices=1, transport="rgb")
+    report = DecodeEngine(keep_rgb=True, config=cfg).decode_named_blobs(blobs)
+    assert report.ok_count == 3
+    assert calls["n"] == 3, "native raster path did not engage"
+    for (name, d), r in zip(blobs, report.results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes_oracle(d).rgb)
