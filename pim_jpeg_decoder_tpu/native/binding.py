@@ -580,6 +580,12 @@ def bmp_rows_cpp(rgb: np.ndarray, out: np.ndarray) -> bool:
     lib = load()
     if lib is None:
         return False
+    if (rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8
+            or not rgb.flags.c_contiguous or out.dtype != np.uint8
+            or not out.flags.c_contiguous or out.shape[0] != rgb.shape[0]
+            or out.shape[1] < rgb.shape[1] * 3):
+        raise ValueError(
+            f"bmp_rows: rgb {rgb.shape} / out {out.shape} inconsistent")
     rc = lib.pjt_bmp_rows(
         rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(rgb.shape[0]), ctypes.c_int64(rgb.shape[1]),
@@ -634,6 +640,13 @@ def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,
     if lib is None:  # callers gate on native_available(), but fail loudly
         raise RuntimeError("native entropy decoder unavailable")
     planes = np.ascontiguousarray(planes, np.uint8)
+    g = v * h + (2 if ncomp == 3 else 0)
+    if (planes.ndim != 3 or planes.shape[0] != g or planes.shape[1] != 64
+            or mcu_off < 0
+            or mcu_off + mcu_rows * mcu_cols > planes.shape[2]):
+        raise ValueError(
+            f"planes {planes.shape} inconsistent with v={v} h={h} "
+            f"ncomp={ncomp} mcus={mcu_rows}x{mcu_cols}+{mcu_off}")
     out = np.empty((height, width, 3), np.uint8)
     rc = lib.pjt_ycbcr_to_rgb(
         planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
