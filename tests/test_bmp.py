@@ -110,11 +110,8 @@ def test_native_rows_match_numpy(rng):
     for h, w in [(1, 1), (7, 5), (8, 4), (33, 31), (64, 66), (2, 65537)]:
         rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
         a = bmp.encode_bmp(rgb)
-        real = B.load
-        B.load = lambda: None
-        try:
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(B, "load", lambda: None)  # NumPy path
             b = bmp.encode_bmp(rgb)
-        finally:
-            B.load = real
         assert a == b, (h, w)
         np.testing.assert_array_equal(bmp.read_bmp(a), rgb)

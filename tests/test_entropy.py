@@ -112,7 +112,6 @@ class TestDecodeScan:
 
 def _single_code_table(tid, cls, symbols):
     """DHT spec where every symbol gets a 1-bit code (crafted-stream tests)."""
-    import numpy as np
     from pim_jpeg_decoder_tpu.codec.header import HuffmanTableSpec
     counts = np.zeros(16, np.uint8)
     counts[0] = len(symbols)
@@ -123,8 +122,6 @@ def test_baseline_rejects_progressive_eobn_symbol():
     """An AC table containing a progressive EOBn symbol (e.g. 0x10) is
     decodable Huffman-wise but INVALID in a baseline scan: both decoders
     must reject it (guards the fast-AC LUT against treating EOBn as EOB)."""
-    import numpy as np
-    import pytest
 
     from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
     from pim_jpeg_decoder_tpu.codec.header import (Component, HuffmanTableSpec,
@@ -152,8 +149,6 @@ def test_baseline_rejects_empty_ac_table():
     valid but undecodable: both decoders must error (guards the fast-AC
     thread_local staleness fix — a skipped LUT build must not leave
     entries from a previous image)."""
-    import numpy as np
-    import pytest
 
     from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
     from pim_jpeg_decoder_tpu.codec.header import (Component,
@@ -185,7 +180,6 @@ def test_dc_predictor_overflow_wraps_identically():
     """Corrupt-but-Huffman-valid streams can push the DC predictor past
     int16; both decoders must WRAP (like libjpeg's int16 store), not crash,
     and produce identical coefficients."""
-    import numpy as np
 
     from pim_jpeg_decoder_tpu.codec.entropy import decode_scan
     from pim_jpeg_decoder_tpu.codec.header import (Component,

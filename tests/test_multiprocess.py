@@ -29,24 +29,37 @@ def _run_scaling_harness(n_procs: int, images: int) -> dict:
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # plain 1-device-per-process CPU backend
-    procs = [
-        subprocess.Popen(
+    # Ranks write to FILES, not pipes: draining rank 0's pipe first would
+    # deadlock if another rank filled its 64 KiB pipe buffer (JAX warnings
+    # + a traceback can) while rank 0 waited on it in a collective.
+    import tempfile
+    logs = []
+    procs = []
+    for pid in range(n_procs):
+        fo = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        fe = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        logs.append((fo, fe))
+        procs.append(subprocess.Popen(
             [sys.executable, BENCH, "--num-processes", str(n_procs),
              "--process-id", str(pid), "--coordinator",
              f"localhost:{port}", "--images", str(images),
              "--baseline-mps", "1.0"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            cwd=REPO, text=True)
-        for pid in range(n_procs)
-    ]
+            stdout=fo, stderr=fe, env=env, cwd=REPO, text=True))
     try:
         deadline = time.monotonic() + 280
-        outs = [p.communicate(timeout=max(5, deadline - time.monotonic()))
-                for p in procs]
+        for p in procs:
+            p.wait(timeout=max(5, deadline - time.monotonic()))
     finally:
         for p in procs:  # a hung rank must not leak (holds the Gloo port)
             if p.poll() is None:
                 p.kill()
+    outs = []
+    for fo, fe in logs:
+        fo.seek(0)
+        fe.seek(0)
+        outs.append((fo.read(), fe.read()))
+        fo.close()
+        fe.close()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out}\n{err[-2000:]}"
     # Process 0 prints the aggregated JSON line.

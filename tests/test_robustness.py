@@ -80,12 +80,29 @@ class TestFuzz:
             pos = int(rng.integers(0, n))
             mutated[pos] ^= 1 << int(rng.integers(0, 8))
             header.entropy_bytes = bytes(mutated)
+            r_py = e_py = None
             try:
-                out = decode_scan(header)
-                assert out.shape == (header.num_mcus, 3, 64)
+                r_py = decode_scan(header)
+                assert r_py.shape == (header.num_mcus, 3, 64)
                 decoded_ok += 1
-            except JpegError:
-                pass
+            except JpegError as e:
+                e_py = str(e)
+            # The NATIVE decoder must make the same call on the same
+            # flipped stream (the fast path is exactly the component
+            # with a documented history of corrupt-stream bugs).
+            from pim_jpeg_decoder_tpu.native import native_available
+            if native_available():
+                from pim_jpeg_decoder_tpu.native.binding import (
+                    decode_scan_cpp,
+                )
+                try:
+                    r_cc = decode_scan_cpp(header)
+                    assert e_py is None, (
+                        f"native decoded where oracle raised: {e_py!r}")
+                    np.testing.assert_array_equal(r_py, r_cc)
+                except JpegError:
+                    assert e_py is not None, \
+                        "native raised where oracle decoded"
         # Many single-bit flips still decode (just with wrong pixels):
         # the in-contract-output path must actually be exercised.
         assert decoded_ok > 0

@@ -51,7 +51,6 @@ class TestBatchPacker:
         packer.add(img)
         batch = packer.flush()
         assert batch.coeffs.shape[0] == 512              # not 16384
-        assert batch.coeffs.shape[0] % 512 == 0
         # A fuller packer still allocates its bucket, capped at the budget.
         packer2 = BatchPacker(mode, budget_mcus=1024, lane_tile=512)
         for _ in range(12):                              # 960 MCUs

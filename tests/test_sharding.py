@@ -97,9 +97,8 @@ class TestShardedDecode:
 
 
 class TestGraftEntry:
-    def test_entry_compiles(self):
-        import sys
-        sys.path.insert(0, REPO_ROOT)
+    def test_entry_compiles(self, monkeypatch):
+        monkeypatch.syspath_prepend(REPO_ROOT)
         import __graft_entry__ as ge
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
@@ -107,9 +106,8 @@ class TestGraftEntry:
         assert out.dtype == np.uint8
 
     @pytest.mark.parametrize("n", [2, 8])
-    def test_dryrun_multichip(self, n):
-        import sys
-        sys.path.insert(0, REPO_ROOT)
+    def test_dryrun_multichip(self, n, monkeypatch):
+        monkeypatch.syspath_prepend(REPO_ROOT)
         import __graft_entry__ as ge
         if len(jax.devices()) < n:
             pytest.skip(f"needs {n} devices")

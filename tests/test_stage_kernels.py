@@ -15,7 +15,9 @@ from pim_jpeg_decoder_tpu.ops.stage_kernels import (
 LANE_TILE = 128
 
 
-@pytest.mark.parametrize("mode_key", [(2, 2, 3), (1, 1, 3), (1, 1, 1)])
+@pytest.mark.parametrize("mode_key", [(2, 2, 3), (2, 1, 3),
+                                      (1, 2, 3), (1, 1, 3),
+                                      (1, 1, 1)])
 def test_staged_equals_fused(rng, mode_key):
     mode = S.mode_for(mode_key)
     m = 2 * LANE_TILE

@@ -191,7 +191,7 @@ class TestNativeAssemblyParity:
     (it encodes the column-major slot-pixel-order contract a second
     time, so parity is load-bearing)."""
 
-    def test_matches_numpy_across_modes_and_scales(self, rng):
+    def test_matches_numpy_across_modes_and_scales(self, rng, monkeypatch):
         from pim_jpeg_decoder_tpu.codec.header import Component, JpegHeader
         from pim_jpeg_decoder_tpu.models import pipeline as P
         from pim_jpeg_decoder_tpu.native import binding as B
@@ -213,11 +213,8 @@ class TestNativeAssemblyParity:
                 raw = rng.integers(0, 256, (3, mode.v * mode.h, n * n, m),
                                    np.uint8)
                 a = P.assemble_raster_raw_scaled(hdr, raw, scale)
-                real = B.load
-                B.load = lambda: None  # force the NumPy path
-                try:
+                with pytest.MonkeyPatch.context() as mp:
+                    mp.setattr(B, "load", lambda: None)  # NumPy path
                     b = P.assemble_raster_raw_scaled(hdr, raw, scale)
-                finally:
-                    B.load = real
                 np.testing.assert_array_equal(
                     a, b, err_msg=f"mode {(v, h, nc)} scale {scale}")
