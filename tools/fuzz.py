@@ -124,6 +124,7 @@ def main() -> None:
     t0 = time.monotonic()
     stats = {"valid": 0, "mismatch": 0, "corrupt_ok": 0,
              "corrupt_decoded": 0, "stream_batches": 0, "table_trials": 0,
+             "prog_table_trials": 0,
              "failures": []}
     batch = []
 
@@ -264,11 +265,102 @@ def main() -> None:
                 return
             stats["table_trials"] += 1
 
+    def prog_table_check() -> None:
+        """Progressive differential at the scan-script level: random
+        tables + random successive-approximation scripts (random band
+        splits, overlaps/duplicates, refine chains, restart intervals)
+        with garbage payloads — native image-level decode vs the Python
+        oracle, same output or both error.  Dense coverage for the most
+        complex native component (the G.2 fast paths + handoffs)."""
+        from pim_jpeg_decoder_tpu.codec.header import (
+            Component,
+            JpegError,
+            JpegHeader,
+            ScanData,
+            ScanSpec,
+        )
+        from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
+        from pim_jpeg_decoder_tpu.native import native_available
+        from tests.test_native import TestRandomTableDifferential as T
+        if not native_available():
+            return
+
+        for _ in range(6):
+            safe = rng.random() < 0.8
+            make = (T._complete_huffman if safe else T._random_huffman)
+            dc = make(rng, 0, 0)
+            ac = make(rng, 1, 0)
+            header = JpegHeader(
+                width=int(rng.integers(8, 64)),
+                height=int(rng.integers(8, 48)),
+                progressive=True,
+                components=[Component(0, 1, 1, 0, dc_id=0, ac_id=0)],
+                dc_tables={0: dc},
+                ac_tables={0: ac},
+            )
+
+            def scan(spec, ri=0):
+                n = int(rng.integers(800, 2400) if rng.random() < 0.2
+                        else rng.integers(8, 300))
+                data = rng.integers(0, 256, n, np.uint8).tobytes()
+                if ri:
+                    segs = max(1, -(-header.num_mcus // ri))
+                    offs = sorted(
+                        int(x) for x in rng.integers(0, n, segs - 1))
+                    offs = tuple([0] + offs)
+                else:
+                    offs = (0,)
+                is_dc = spec.start_of_selection == 0
+                return ScanData([0], [0], [0], spec, ri, data, offs,
+                                [dc if is_dc else None],
+                                [None if is_dc else ac])
+
+            a0 = int(rng.integers(0, 3))
+            scans = [scan(ScanSpec(0, 0, 0, a0))]  # DC first (mandatory)
+            al_dc = a0
+            for _ in range(int(rng.integers(1, 7))):
+                ri = int(rng.choice([0, 0, 0, 2, 5]))
+                if rng.random() < 0.3 and al_dc > 0:  # DC refine chain
+                    scans.append(scan(ScanSpec(0, 0, al_dc, al_dc - 1), ri))
+                    al_dc -= 1
+                else:  # AC band: random range, overlaps/dupes allowed
+                    ss = int(rng.integers(1, 64))
+                    se = int(rng.integers(ss, 64))
+                    al = int(rng.integers(0, 3))
+                    ah = 0 if rng.random() < 0.6 else al + 1
+                    scans.append(scan(ScanSpec(ss, se, ah, al), ri))
+            header.scans = scans
+
+            r_py = e_py = r_cc = e_cc = None
+            try:
+                r_py = decode_progressive(header, use_native=False)
+            except JpegError as e:
+                e_py = str(e)
+            try:
+                r_cc = decode_progressive(header, use_native=True)
+            except JpegError as e:
+                e_cc = str(e)
+            if e_py is None and e_cc is None:
+                if not np.array_equal(r_py, r_cc):
+                    stats["mismatch"] += 1
+                    stats["failures"].append(
+                        ("prog_table", "native != oracle"))
+                    return
+            elif e_py is None or e_cc is None:
+                stats["mismatch"] += 1
+                stats["failures"].append(
+                    ("prog_table",
+                     f"one path errored: py={e_py!r} cc={e_cc!r}"))
+                return
+            stats["prog_table_trials"] += 1
+
     for i in range(iters):
         if rng.random() < 0.02:
             stream_check()
         if rng.random() < 0.05:
             table_check()
+        if rng.random() < 0.04:
+            prog_table_check()
         name, data = random_jpeg(rng)
         mode = rng.random()
         if mode < 0.7:
