@@ -20,6 +20,8 @@ from pim_jpeg_decoder_tpu.ops import specs as S
 from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus, pad_mcus
 from pim_jpeg_decoder_tpu.oracle.decoder import decode_bytes_oracle, mcu_rgb_from_coeffs
 
+from tests.helpers import stage_single
+
 LANE_TILE = 128  # small tile for fast interpret-mode tests
 
 
@@ -40,14 +42,9 @@ def run_kernel_vs_oracle(img, sampling=None, grayscale=False, quality=90):
                        sampling=sampling or "4:4:4", grayscale=grayscale)
     header = scan_jpeg(data)
     coeffs = decode_scan(header)
-    mode = S.mode_for(header.mode_key)
-
-    m_pad = pad_mcus(header.num_mcus, LANE_TILE)
-    padded = np.zeros((m_pad, mode.g, 64), np.int16)
-    padded[: header.num_mcus] = coeffs
-    got = np.asarray(decode_mcus(
-        padded, np.zeros(m_pad, np.int32), build_qpool([header], mode), mode,
-        lane_tile=LANE_TILE))
+    padded, qidx, qpool, mode = stage_single(header, coeffs, LANE_TILE)
+    got = np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                 lane_tile=LANE_TILE))
 
     want = mcu_rgb_from_coeffs(header, coeffs)
     got_raster = slots_to_mcu_raster(mode, got[: header.num_mcus])
@@ -144,17 +141,12 @@ class TestRawLayout:
         data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
         header = scan_jpeg(data)
         coeffs = decode_scan(header)
-        mode = S.mode_for(header.mode_key)
-        m_pad = pad_mcus(header.num_mcus, LANE_TILE)
-        padded = np.zeros((m_pad, mode.g, 64), np.int16)
-        padded[: header.num_mcus] = coeffs
-        qidx = np.zeros(m_pad, np.int32)
-        qpool = build_qpool([header], mode)
+        padded, qidx, qpool, mode = stage_single(header, coeffs, LANE_TILE)
         default = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                          lane_tile=LANE_TILE))
         raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                      lane_tile=LANE_TILE, raw=True))
-        assert raw.shape == (3, mode.luma_slots, 64, m_pad)
+        assert raw.shape == (3, mode.luma_slots, 64, padded.shape[0])
         np.testing.assert_array_equal(raw.transpose(3, 1, 2, 0), default)
 
     def test_assemble_raster_raw_matches_slots(self, photo_image):
@@ -165,12 +157,7 @@ class TestRawLayout:
         data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
         header = scan_jpeg(data)
         coeffs = decode_scan(header)
-        mode = S.mode_for(header.mode_key)
-        m_pad = pad_mcus(header.num_mcus, LANE_TILE)
-        padded = np.zeros((m_pad, mode.g, 64), np.int16)
-        padded[: header.num_mcus] = coeffs
-        qidx = np.zeros(m_pad, np.int32)
-        qpool = build_qpool([header], mode)
+        padded, qidx, qpool, mode = stage_single(header, coeffs, LANE_TILE)
         slots = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                        lane_tile=LANE_TILE))
         raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,

@@ -16,10 +16,12 @@ from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
 from pim_jpeg_decoder_tpu.models.pipeline import (build_qpool, decode_bytes,
                                                   decode_scaled)
 from pim_jpeg_decoder_tpu.ops import specs as S
-from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus, pad_mcus
+from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus
 from pim_jpeg_decoder_tpu.oracle.color import ycbcr_to_rgb
 from pim_jpeg_decoder_tpu.oracle.idct import (dequantize,
                                               reduced_idct_blocks)
+
+from tests.helpers import stage_single
 
 LANE_TILE = 128
 
@@ -59,11 +61,8 @@ def kernel_vs_oracle_scaled(img, sampling, grayscale, scale):
     mode = S.mode_for(header.mode_key)
     n = 8 // scale
 
-    m_pad = pad_mcus(header.num_mcus, LANE_TILE)
-    padded = np.zeros((m_pad, mode.g, 64), np.int16)
-    padded[: header.num_mcus] = coeffs
-    qpool = build_qpool([header], mode)
-    got = np.asarray(decode_mcus(padded, np.zeros(m_pad, np.int32), qpool,
+    padded, qidx, qpool, _ = stage_single(header, coeffs, LANE_TILE)
+    got = np.asarray(decode_mcus(padded, qidx, qpool,
                                  mode, lane_tile=LANE_TILE, scale=scale))
     got = got[: header.num_mcus]            # [M, gy, n*n, 3]
 

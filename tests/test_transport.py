@@ -17,8 +17,10 @@ from pim_jpeg_decoder_tpu.models.pipeline import (
     build_qpool,
 )
 from pim_jpeg_decoder_tpu.ops import specs as S
-from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus, pad_mcus
+from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus
 from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+from tests.helpers import stage_single
 
 LANE_TILE = 128
 
@@ -32,12 +34,7 @@ def decode_both_ways(img, sampling, grayscale):
                        grayscale=grayscale)
     header = scan_jpeg(data)
     coeffs = decode_scan(header)
-    mode = S.mode_for(header.mode_key)
-    m_pad = pad_mcus(header.num_mcus, LANE_TILE)
-    padded = np.zeros((m_pad, mode.g, 64), np.int16)
-    padded[: header.num_mcus] = coeffs
-    qidx = np.zeros(m_pad, np.int32)
-    qpool = build_qpool([header], mode)
+    padded, qidx, qpool, mode = stage_single(header, coeffs, LANE_TILE)
 
     raw_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                      lane_tile=LANE_TILE, raw=True))
@@ -45,7 +42,7 @@ def decode_both_ways(img, sampling, grayscale):
 
     planes = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                     lane_tile=LANE_TILE, ycbcr=True))
-    assert planes.shape == (mode.g, 64, m_pad)
+    assert planes.shape == (mode.g, 64, padded.shape[0])
     got = assemble_raster_ycbcr(header, planes)
     return got, want
 
@@ -123,12 +120,8 @@ class TestInt8CoefficientWire:
         coeffs = decode_scan(header)
         assert abs(int(coeffs.min())) <= 128 and int(coeffs.max()) <= 127, \
             "fixture must fit the int8 wire"
-        mode = S.mode_for(header.mode_key)
-        m_pad = pad_mcus(header.num_mcus, LANE_TILE)
-        padded = np.zeros((m_pad, mode.g, 64), np.int16)
-        padded[: header.num_mcus] = coeffs
-        qidx = np.zeros(m_pad, np.int32)
-        qpool = build_qpool([header], mode)
+        padded, qidx, qpool, mode = stage_single(header, coeffs,
+                                                 LANE_TILE)
         want = np.asarray(decode_mcus(padded, qidx, qpool, mode,
                                       lane_tile=LANE_TILE, raw=True))
         got = np.asarray(decode_mcus(padded.astype(np.int8), qidx, qpool,
