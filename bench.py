@@ -159,6 +159,60 @@ def bench_host_entropy(blobs) -> float:
     return mp / (time.monotonic() - t0)
 
 
+N_ENTROPY_THREADS = 4
+
+
+def bench_host_entropy_mt(blobs, threads: int = N_ENTROPY_THREADS) -> float:
+    """Aggregate entropy throughput with the corpus fanned across N decode
+    threads (the engine's prepare-pool shape; the C++ decoder releases the
+    GIL).  On a many-core host this is the measured point behind
+    docs/deployment.md's per-core sizing; on THIS rig (1 core) the honest
+    expectation is ~1.0x the serial number — the measurement then pins the
+    absence of contention overhead (allocator, GIL re-acquisition, shared
+    pools), not a speedup.  host_cores in the JSON line says which."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+    from pim_jpeg_decoder_tpu.native import decode_scan_native
+
+    headers = [scan_jpeg(d) for _, d in blobs]
+    mp = sum(h.width * h.height for h in headers) / 1e6
+    with ThreadPoolExecutor(threads) as pool:
+        t0 = time.monotonic()
+        list(pool.map(decode_scan_native, headers))
+        dt = time.monotonic() - t0
+    return mp / dt
+
+
+def bench_dri_segment_parallel(threads: int = N_ENTROPY_THREADS) -> tuple:
+    """(serial_mps, parallel_mps) entropy decode of ONE large DRI image via
+    restart-segment fan-out — the engine's dedicated/banded prepare route
+    (runtime/engine.py:_prepare).  ~1.0x expected on this 1-core rig (a
+    regression guard for dispatch/merge overhead); the speedup case is
+    many-core deployment."""
+    from PIL import Image
+
+    from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
+    from pim_jpeg_decoder_tpu.native import decode_scan_native
+
+    rng = np.random.default_rng(77)
+    img = synth_scene(rng, 2048, 1536)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=75, subsampling=2,
+                              restart_marker_rows=1)   # 96 segments
+    header = scan_jpeg(buf.getvalue())
+    mp = header.width * header.height / 1e6
+    serial, parallel = [], []
+    for _ in range(5):
+        t0 = time.monotonic()
+        decode_scan_native(header, threads=1)
+        serial.append(mp / (time.monotonic() - t0))
+        t0 = time.monotonic()
+        decode_scan_native(header, threads=threads)
+        parallel.append(mp / (time.monotonic() - t0))
+    return statistics.median(serial), statistics.median(parallel)
+
+
 def bench_host_finishers(blobs) -> tuple:
     """(host_color_mps, host_bmp_mps): the BMP path's per-core host
     finishers — AVX2 upsample+BT.601 from the YCbCr wire layout and the
@@ -617,11 +671,13 @@ def check_bit_exact_cpu_subprocess() -> dict:
             "failures": ["cpu-subprocess sweep failed"]}
 
 
-def main_host_only() -> None:
+def main_host_only(waited_s: float = 0.0) -> None:
     """Dead-tunnel fallback: host-side numbers + CPU-backend bit-exact
     sweep, honestly labeled (never hang the driver's bench run)."""
     blobs = make_corpus()
     entropy_mps = bench_host_entropy(blobs)
+    entropy_mt_mps = bench_host_entropy_mt(blobs)
+    seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
     progressive_mps = bench_progressive(blobs)
     color_mps, bmp_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
@@ -632,9 +688,16 @@ def main_host_only() -> None:
         "unit": "MP/s",
         "vs_baseline": 0.0,
         "tunnel_dead": True,
-        "note": ("device transport unreachable (round-trip probe timed "
-                 "out); host numbers + CPU-backend bit-exact sweep only"),
+        "tunnel_waited_s": round(waited_s),
+        "note": ("device transport unreachable (probes retried for "
+                 f"{waited_s:.0f}s); host numbers + CPU-backend "
+                 "bit-exact sweep only"),
         "host_entropy_mps": round(entropy_mps, 1),
+        "host_entropy_mps_nt": round(entropy_mt_mps, 1),
+        "host_entropy_nt": N_ENTROPY_THREADS,
+        "host_cores": os.cpu_count(),
+        "seg_parallel_mps": round(seg_parallel_mps, 1),
+        "seg_parallel_serial_mps": round(seg_serial_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
         "host_color_mps": round(color_mps, 1),
         "host_bmp_mps": round(bmp_mps, 1),
@@ -650,9 +713,36 @@ def main_host_only() -> None:
     print(json.dumps(result))
 
 
+def wait_for_tunnel() -> float:
+    """Probe the tunnel, retrying through a bounded outage window.
+
+    Round 3 lost its entire hardware record to one transient outage: the
+    single 150 s probe timed out and bench.py fell back to host-only
+    numbers even though the tunnel recovered later that day.  Now a dead
+    probe is retried every ~4 min for up to PJT_BENCH_TUNNEL_WAIT_S
+    seconds (default 3600) before giving up.  Returns the seconds spent
+    waiting, or -1.0 if the tunnel never came back.
+    """
+    budget = float(os.environ.get("PJT_BENCH_TUNNEL_WAIT_S", "3600"))
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        if tunnel_alive():
+            return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        if elapsed >= budget:
+            return -1.0
+        print(f"# tunnel probe {attempt} dead after {elapsed:.0f}s; "
+              f"retrying (budget {budget:.0f}s)", file=sys.stderr)
+        time.sleep(min(240.0, max(0.0, budget - elapsed)))
+
+
 def main() -> None:
-    if not tunnel_alive():
-        main_host_only()
+    waited = wait_for_tunnel()
+    if waited < 0:
+        main_host_only(float(os.environ.get("PJT_BENCH_TUNNEL_WAIT_S",
+                                            "3600")))
         return
 
     blobs = make_corpus()
@@ -668,6 +758,8 @@ def main() -> None:
     e2e_mps, e2e_best_mps = bench_e2e(e2e_blobs)
     e2e_mixed_mps = bench_e2e_mixed(mixed)
     entropy_mps = bench_host_entropy(blobs)
+    entropy_mt_mps = bench_host_entropy_mt(blobs)
+    seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
     progressive_mps = bench_progressive(blobs)
     color_mps, bmp_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
@@ -686,6 +778,11 @@ def main() -> None:
         "e2e_mixed_mps": round(e2e_mixed_mps, 1),
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
+        "host_entropy_mps_nt": round(entropy_mt_mps, 1),
+        "host_entropy_nt": N_ENTROPY_THREADS,
+        "host_cores": os.cpu_count(),
+        "seg_parallel_mps": round(seg_parallel_mps, 1),
+        "seg_parallel_serial_mps": round(seg_serial_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
         "host_color_mps": round(color_mps, 1),
         "host_bmp_mps": round(bmp_mps, 1),
@@ -704,6 +801,8 @@ def main() -> None:
     }
     if crawl:
         result["tunnel_crawl_reduced_sweep"] = True
+    if waited > 1.0:
+        result["tunnel_waited_s"] = round(waited)
     if exact["failures"]:
         result["bit_exact_failures"] = exact["failures"]
     print(json.dumps(result))

@@ -164,10 +164,18 @@ def _entropy_decode_pool(headers, prepare_threads: int, outs=None):
     and a small batch simply leaves workers idle)."""
     if outs is None:
         outs = [None] * len(headers)
-    if prepare_threads <= 1 or len(headers) == 1:
+    n = len(headers)
+    if prepare_threads <= 1:
         return [entropy_decode(h, o) for h, o in zip(headers, outs)]
+    # Idle-worker reuse: a batch with fewer images than workers leaves
+    # cores idle, so give each image the spare share for restart-segment
+    # fan-out (no-op for non-DRI/small images — the native path clamps).
+    seg_threads = max(1, prepare_threads // n)
+    if n == 1:
+        return [entropy_decode(headers[0], outs[0], threads=seg_threads)]
     return list(_prep_pool(max(1, prepare_threads)).map(
-        entropy_decode, headers, outs))
+        lambda h, o: entropy_decode(h, o, threads=seg_threads),
+        headers, outs))
 
 
 def _check_wire(wire: str) -> None:

@@ -34,14 +34,18 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 )
 
 
-def entropy_decode(header: JpegHeader, out=None) -> np.ndarray:
+def entropy_decode(header: JpegHeader, out=None,
+                   threads: int = 1) -> np.ndarray:
     """Entropy-decode via the native C++ fast path, NumPy fallback.
 
     Progressive frames route through the multi-scan successive-approximation
     decoder; both paths emit ``[num_mcus, g, 64]`` int16 natural-order
     coefficients, so the device pipeline is shared.  ``out`` (optional,
     caller-zeroed) receives the coefficients in place — the ML batch path
-    passes transport-buffer slices to skip a copy.
+    passes transport-buffer slices to skip a copy.  ``threads > 1`` fans
+    restart segments of a baseline DRI image across cores (the segment
+    entry points the reference strips without exploiting, reference:
+    src/jpeg_scanner.cpp:423); ignored for progressive/non-DRI streams.
     """
     if header.progressive:
         from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
@@ -51,7 +55,7 @@ def entropy_decode(header: JpegHeader, out=None) -> np.ndarray:
             return out
         return coeffs
     from pim_jpeg_decoder_tpu.native import decode_scan_native
-    return decode_scan_native(header, out=out)
+    return decode_scan_native(header, out=out, threads=threads)
 
 
 def build_qpool(headers: Sequence[JpegHeader], mode: S.ModeSpec) -> np.ndarray:

@@ -118,6 +118,16 @@ def _stage_tables(header: JpegHeader):
 # thread to amortize dispatch (~MCUs per thread).
 _MIN_MCUS_PER_THREAD = 2048
 
+# Engagement evidence for segment-parallel decode (the latent parallelism
+# of SURVEY.md section 2 item 4): production callers are expected to reach
+# the threads>1 branch for large DRI images, and tests pin that they do.
+_seg_stats = {"parallel_calls": 0, "parallel_threads": 0, "serial_calls": 0}
+
+
+def segment_decode_stats() -> dict:
+    """Counters for restart-segment-parallel decode engagement (tests)."""
+    return dict(_seg_stats)
+
 _pool = None
 
 
@@ -202,10 +212,13 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1,
             raise JpegError(f"{msg} (MCU {err_mcu.value})")
 
     if threads == 1:
+        _seg_stats["serial_calls"] += 1
         err_mcu = ctypes.c_int32(-1)
         rc = lib.pjt_decode_scan(*common, *tail, ctypes.byref(err_mcu))
         raise_on_error(rc, err_mcu)
         return out
+    _seg_stats["parallel_calls"] += 1
+    _seg_stats["parallel_threads"] += threads
 
     if segs_used > seg_offsets.size:
         # Match the oracle's wording exactly: it fails at the FIRST absent

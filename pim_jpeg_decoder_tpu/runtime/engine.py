@@ -190,7 +190,15 @@ class DecodeEngine:
                  timers: StageTimers) -> PreparedImage:
         with timers.stage("prepare"):
             header = scan_jpeg(data)
-            coeffs = entropy_decode(header)
+            # Dedicated/banded-route images (bigger than a packed batch)
+            # dominate the prepare pool's wall clock on their own, so fan
+            # their restart segments across cores instead of decoding the
+            # whole bitstream on one (SURVEY.md section 2 item 4; the
+            # native path clamps to the available segments/work, so this
+            # is a no-op for non-DRI or small images).
+            threads = (self.prepare_threads
+                       if header.num_mcus > self.budget_mcus else 1)
+            coeffs = entropy_decode(header, threads=threads)
             return PreparedImage(name, header, coeffs, uid=uid)
 
     def _stage_batch(self, batch: Batch, timers: StageTimers) -> Batch:

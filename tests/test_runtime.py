@@ -230,6 +230,34 @@ def test_chunked_decode_of_huge_image(rng):
                                   decode_bytes_oracle(data).rgb)
 
 
+def test_dedicated_route_engages_segment_parallel_decode(monkeypatch, rng):
+    """A dedicated/banded-route DRI image entropy-decodes with restart-
+    segment parallelism IN PRODUCTION (not just at the API level): the
+    engine's prepare stage must reach the native threads>1 branch, and the
+    output must equal the serial decode (SURVEY.md section 2 item 4)."""
+    from pim_jpeg_decoder_tpu.native import binding
+
+    if binding.load() is None:
+        pytest.skip("native decoder unavailable")
+    # Shrink the amortization floor so a test-sized image fans out.
+    monkeypatch.setattr(binding, "_MIN_MCUS_PER_THREAD", 8)
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    img = rng.integers(0, 256, (250, 210, 3), dtype=np.uint8)  # 16x14 MCUs
+    data = encode_jpeg(img, quality=80, sampling="4:2:0",
+                       restart_interval=5)                     # 45 segments
+    before = binding.segment_decode_stats()["parallel_calls"]
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=4,
+                       max_launch_mcus=65536, num_devices=1)
+    engine = DecodeEngine(keep_rgb=True, config=cfg)
+    report = engine.decode_named_blobs([("dri", data)])
+    assert report.ok_count == 1, [r.error for r in report.results]
+    after = binding.segment_decode_stats()["parallel_calls"]
+    assert after > before, "dedicated route decoded serially"
+    np.testing.assert_array_equal(report.results[0].rgb,
+                                  decode_bytes_oracle(data).rgb)
+
+
 def test_ultrawide_image_tiles_within_launch_cap(rng):
     """A single MCU row wider than max_launch_mcus splits into column
     tiles — no launch exceeds the configured cap."""
