@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import threading
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -120,6 +120,89 @@ def _decode_batch_jit(coeffs, qidx, qpool, *, mode: S.ModeSpec,
     return _apply_norm(img[:, :height, :width, :], norm)
 
 
+def _mesh_align(mesh, lane_tile: int) -> int:
+    """Transport-row alignment for a batch: each chip's shard must be a
+    whole number of kernel lane tiles."""
+    if mesh is None:
+        return lane_tile
+    return mesh.devices.size * lane_tile
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_batch_fn(mesh, mode: S.ModeSpec, lane_tile: int,
+                      interpret: bool, batch: int, gh: int, gw: int,
+                      height: int, width: int, scale: int, norm):
+    """Compiled multi-chip batch-decode program: the fused kernel runs
+    under shard_map over the MCU axis (each chip decodes its tile slice,
+    no collectives — MCUs are independent), then the raster relayout +
+    normalization run under the same jit, where XLA inserts the minimal
+    resharding; the output is constrained to batch-axis sharding when the
+    batch divides the mesh (the data-parallel layout a training step
+    wants).  Reference analog: inter-DPU data parallelism
+    (src/decoder_host.cpp:125-128), here for the ML input path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pim_jpeg_decoder_tpu.parallel.mesh import MCU_AXIS
+
+    impl = functools.partial(decode_mcus_impl, mode=mode,
+                             lane_tile=lane_tile, interpret=interpret,
+                             raw=True, scale=scale)
+    shmapped = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(P(MCU_AXIS), P(MCU_AXIS), P()),
+        out_specs=P(None, None, None, MCU_AXIS),
+        # Purely elementwise over the MCU axis (see parallel/sharding.py).
+        check_vma=False,
+    )
+
+    def fn(coeffs, qidx, qpool):
+        raw = shmapped(coeffs, qidx, qpool)
+        img = _raster_relayout(raw, mode, scale, batch, gh, gw)
+        out = _apply_norm(img[:, :height, :width, :], norm)
+        if batch % mesh.devices.size == 0:
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, P(MCU_AXIS)))
+        return out
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_crops_fn(mesh, mode: S.ModeSpec, lane_tile: int,
+                      interpret: bool, batch: int, gh: int, gw: int,
+                      crop_h: int, crop_w: int, scale: int, norm):
+    """Multi-chip variant of ``_decode_batch_crops_jit`` (see
+    :func:`_sharded_batch_fn` for the sharding structure)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pim_jpeg_decoder_tpu.parallel.mesh import MCU_AXIS
+
+    impl = functools.partial(decode_mcus_impl, mode=mode,
+                             lane_tile=lane_tile, interpret=interpret,
+                             raw=True, scale=scale)
+    shmapped = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(P(MCU_AXIS), P(MCU_AXIS), P()),
+        out_specs=P(None, None, None, MCU_AXIS),
+        check_vma=False,
+    )
+
+    def fn(coeffs, qidx, qpool, oys, oxs):
+        raw = shmapped(coeffs, qidx, qpool)
+        img = _raster_relayout(raw, mode, scale, batch, gh, gw)
+        crops = jax.vmap(
+            lambda im, oy, ox: jax.lax.dynamic_slice(
+                im, (oy, ox, jnp.int32(0)),
+                (crop_h // scale, crop_w // scale, 3)))(img, oys, oxs)
+        out = _apply_norm(crops, norm)
+        if batch % mesh.devices.size == 0:
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, P(MCU_AXIS)))
+        return out
+
+    return jax.jit(fn)
+
+
 def _scan_same_size(blobs: Sequence[bytes], caller: str):
     """Parse headers and enforce the identical-(size, mode) contract."""
     headers = [scan_jpeg(b) for b in blobs]
@@ -191,14 +274,18 @@ def _maybe_compact(coeffs, wire: str):
 
 
 def _host_stage(blobs: Sequence[bytes], lane_tile: int,
-                prepare_threads: int, wire: str, caller: str):
+                prepare_threads: int, wire: str, caller: str,
+                align: Optional[int] = None):
     """Host half of a same-size batch decode: scan + entropy decode +
     transport staging + wire compaction.  Pure host work (no JAX calls),
-    so it runs safely on a prefetch worker thread."""
+    so it runs safely on a prefetch worker thread.  ``align`` (default
+    ``lane_tile``) pads the transport to whole per-chip lane tiles for a
+    mesh dispatch."""
     headers, h0, mode = _scan_same_size(blobs, caller)
     batch = len(blobs)
     per_img = h0.num_mcus
-    m_pad = -(-(batch * per_img) // lane_tile) * lane_tile
+    align = align or lane_tile
+    m_pad = -(-(batch * per_img) // align) * align
 
     coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
     qidx = np.zeros(m_pad, np.int32)
@@ -216,15 +303,26 @@ def _host_stage(blobs: Sequence[bytes], lane_tile: int,
     return headers, h0, mode, coeffs, qidx, qpool, batch
 
 
-def _dispatch_staged(staged, lane_tile: int, scale: int, norm=None):
-    """Device half: H2D + fused kernel + raster relayout (async)."""
+def _dispatch_staged(staged, lane_tile: int, scale: int, norm=None,
+                     mesh=None):
+    """Device half: H2D + fused kernel + raster relayout (async).
+    With ``mesh``, inputs are placed sharded over the MCU axis and the
+    multi-chip program runs (see :func:`_sharded_batch_fn`)."""
     headers, h0, mode, coeffs, qidx, qpool, batch = staged
+    height, width = -(-h0.height // scale), -(-h0.width // scale)
+    if mesh is not None:
+        from pim_jpeg_decoder_tpu.parallel.sharding import place_for_mesh
+        coeffs, qidx, qpool = place_for_mesh(coeffs, qidx, qpool, mesh)
+        fn = _sharded_batch_fn(mesh, mode, lane_tile, _interpret(), batch,
+                               h0.mcu_rows, h0.mcu_cols, height, width,
+                               scale, norm)
+        return fn(coeffs, qidx, qpool), headers
     out = _decode_batch_jit(
         jnp.asarray(coeffs), jnp.asarray(qidx),
         jnp.asarray(qpool, jnp.float32),
         mode=mode, lane_tile=lane_tile, interpret=_interpret(),
         batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
-        height=-(-h0.height // scale), width=-(-h0.width // scale),
+        height=height, width=width,
         scale=scale, norm=norm)
     return out, headers
 
@@ -238,6 +336,7 @@ def decode_same_size_batch(
     dtype=None,
     mean=None,
     std=None,
+    mesh=None,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
 
@@ -259,6 +358,13 @@ def decode_same_size_batch(
     pass (normalizing in user code outside the jit reads and writes the
     batch once more).  Each distinct (dtype, mean, std) compiles once.
 
+    ``mesh`` (opt-in, a ``jax.sharding.Mesh`` from
+    :func:`pim_jpeg_decoder_tpu.parallel.mesh.make_mesh`) shards the
+    decode across local chips: MCU tiles split over the mesh for the
+    kernel, and the returned batch is sharded over the image axis when
+    the batch divides the mesh — equal to the single-device result
+    (tested on the virtual 8-device mesh).
+
     For back-to-back batches use :func:`iter_decode_batches`, which
     overlaps the host half of batch N+1 with device decode of batch N.
     """
@@ -271,8 +377,9 @@ def decode_same_size_batch(
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
     staged = _host_stage(blobs, lane_tile, prepare_threads, wire,
-                         "decode_same_size_batch")
-    return _dispatch_staged(staged, lane_tile, scale, norm)
+                         "decode_same_size_batch",
+                         align=_mesh_align(mesh, lane_tile))
+    return _dispatch_staged(staged, lane_tile, scale, norm, mesh)
 
 
 def _prefetched(stage_thunks, prefetch: int):
@@ -321,6 +428,7 @@ def iter_decode_batches(
     dtype=None,
     mean=None,
     std=None,
+    mesh=None,
 ):
     """Streaming same-size batch decode with host/device overlap.
 
@@ -339,7 +447,8 @@ def iter_decode_batches(
     may differ in size/mode from each other; each batch must be internally
     uniform).  Worker threads run only host code; all JAX dispatch happens
     on the consuming thread.  ``dtype``/``mean``/``std`` fuse normalization
-    into the decode program (see :func:`decode_same_size_batch`).
+    into the decode program (see :func:`decode_same_size_batch`);
+    ``mesh`` shards each batch across local chips (see there).
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
@@ -353,10 +462,10 @@ def iter_decode_batches(
                 raise ValueError("empty batch")
             yield functools.partial(
                 _host_stage, blobs, lane_tile, prepare_threads, wire,
-                "iter_decode_batches")
+                "iter_decode_batches", _mesh_align(mesh, lane_tile))
 
     for staged in _prefetched(stage_thunks(), prefetch):
-        yield _dispatch_staged(staged, lane_tile, scale, norm)
+        yield _dispatch_staged(staged, lane_tile, scale, norm, mesh)
 
 
 @functools.partial(
@@ -393,6 +502,7 @@ def decode_same_size_batch_crops(
     dtype=None,
     mean=None,
     std=None,
+    mesh=None,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode one ``crop_h x crop_w`` crop per image -> ``[B, ch, cw, 3]``.
 
@@ -414,19 +524,22 @@ def decode_same_size_batch_crops(
 
     All images must share dimensions and sampling mode (as in
     :func:`decode_same_size_batch`); ``dtype``/``mean``/``std`` fuse
-    normalization into the decode program (see there).
+    normalization into the decode program, and ``mesh`` shards the batch
+    across local chips (see there).
     """
     norm = _norm_static(dtype, mean, std)
     from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
     ensure_compilation_cache()
     staged = _host_stage_crops(blobs, boxes, crop_hw, lane_tile, scale,
                                prepare_threads, wire,
-                               "decode_same_size_batch_crops")
-    return _dispatch_staged_crops(staged, lane_tile, scale, norm)
+                               "decode_same_size_batch_crops",
+                               align=_mesh_align(mesh, lane_tile))
+    return _dispatch_staged_crops(staged, lane_tile, scale, norm, mesh)
 
 
 def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
-                      prepare_threads: int, wire: str, caller: str):
+                      prepare_threads: int, wire: str, caller: str,
+                      align: Optional[int] = None):
     """Host half of a crop-batch decode (validation + scan + entropy +
     per-crop sub-grid staging + wire compaction).  No JAX calls."""
     _check_wire(wire)
@@ -465,7 +578,8 @@ def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
 
     batch = len(blobs)
     per_img = gh_c * gw_c
-    m_pad = -(-(batch * per_img) // lane_tile) * lane_tile
+    align = align or lane_tile
+    m_pad = -(-(batch * per_img) // align) * align
     coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
     qidx = np.zeros(m_pad, np.int32)
     oys = np.zeros(batch, np.int32)
@@ -489,9 +603,17 @@ def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
             gw_c, crop_h, crop_w)
 
 
-def _dispatch_staged_crops(staged, lane_tile: int, scale: int, norm=None):
+def _dispatch_staged_crops(staged, lane_tile: int, scale: int, norm=None,
+                           mesh=None):
     (headers, mode, coeffs, qidx, qpool, oys, oxs, batch, gh_c, gw_c,
      crop_h, crop_w) = staged
+    if mesh is not None:
+        from pim_jpeg_decoder_tpu.parallel.sharding import place_for_mesh
+        coeffs, qidx, qpool = place_for_mesh(coeffs, qidx, qpool, mesh)
+        fn = _sharded_crops_fn(mesh, mode, lane_tile, _interpret(), batch,
+                               gh_c, gw_c, crop_h, crop_w, scale, norm)
+        return fn(coeffs, qidx, qpool, jnp.asarray(oys),
+                  jnp.asarray(oxs)), headers
     out = _decode_batch_crops_jit(
         jnp.asarray(coeffs), jnp.asarray(qidx),
         jnp.asarray(qpool, jnp.float32),
@@ -513,6 +635,7 @@ def iter_decode_batch_crops(
     dtype=None,
     mean=None,
     std=None,
+    mesh=None,
 ):
     """Streaming random-crop decode with host/device overlap.
 
@@ -532,7 +655,7 @@ def iter_decode_batch_crops(
             yield functools.partial(
                 _host_stage_crops, list(blobs), list(boxes), crop_hw,
                 lane_tile, scale, prepare_threads, wire,
-                "iter_decode_batch_crops")
+                "iter_decode_batch_crops", _mesh_align(mesh, lane_tile))
 
     for staged in _prefetched(stage_thunks(), prefetch):
-        yield _dispatch_staged_crops(staged, lane_tile, scale, norm)
+        yield _dispatch_staged_crops(staged, lane_tile, scale, norm, mesh)

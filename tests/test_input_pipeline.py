@@ -392,3 +392,79 @@ class TestFusedNormalization:
         with pytest.raises(ValueError, match="length-3"):
             decode_same_size_batch(blobs, dtype=jnp.float32,
                                    mean=(1.0, 2.0))
+
+
+class TestMeshBatchDecode:
+    """Opt-in multi-chip batch decode (mesh=): kernel sharded over the MCU
+    axis under shard_map, output equal to the single-device program and
+    sharded over the image axis when the batch divides the mesh — the
+    reference's inter-DPU data parallelism for the ML input path
+    (reference: src/decoder_host.cpp:125-128)."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        from pim_jpeg_decoder_tpu.parallel.mesh import make_mesh
+        return make_mesh(8)
+
+    def _blobs(self, photo_image, n=8):
+        return [encode_jpeg(np.roll(photo_image, 5 * i, axis=1),
+                            quality=80 + i % 7, sampling="4:2:0")
+                for i in range(n)]
+
+    def test_matches_single_device(self, photo_image, mesh8):
+        blobs = self._blobs(photo_image)
+        out, _ = decode_same_size_batch(blobs, lane_tile=16, mesh=mesh8)
+        want, _ = decode_same_size_batch(blobs, lane_tile=16)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+        # Batch divides the mesh -> data-parallel output sharding.
+        from pim_jpeg_decoder_tpu.parallel.mesh import MCU_AXIS
+        spec = out.sharding.spec
+        assert spec[0] == MCU_AXIS, spec
+
+    def test_uneven_batch_matches(self, photo_image, mesh8):
+        blobs = self._blobs(photo_image, n=3)  # 3 images on 8 chips
+        out, _ = decode_same_size_batch(blobs, lane_tile=16, mesh=mesh8)
+        want, _ = decode_same_size_batch(blobs, lane_tile=16)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    def test_scaled_normalized_matches(self, photo_image, mesh8):
+        import jax.numpy as jnp
+        blobs = self._blobs(photo_image, n=4)
+        kw = dict(lane_tile=16, scale=2, dtype=jnp.bfloat16,
+                  mean=(110.0, 120.0, 118.0), std=(58.0, 61.0, 64.0))
+        out, _ = decode_same_size_batch(blobs, mesh=mesh8, **kw)
+        want, _ = decode_same_size_batch(blobs, **kw)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(want, np.float32))
+
+    def test_crops_match(self, photo_image, mesh8):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops)
+        blobs = self._blobs(photo_image, n=8)
+        boxes = [(3 * i, 5 * i) for i in range(8)]
+        kw = dict(boxes=boxes, crop_hw=(48, 56), lane_tile=16)
+        out, _ = decode_same_size_batch_crops(blobs, mesh=mesh8, **kw)
+        want, _ = decode_same_size_batch_crops(blobs, **kw)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    def test_streaming_matches(self, photo_image, mesh8):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            iter_decode_batch_crops, iter_decode_batches)
+        blobs = self._blobs(photo_image, n=8)
+        batches = [blobs[:4], blobs[4:]]
+        got = [np.asarray(o) for o, _ in
+               iter_decode_batches(batches, lane_tile=16, mesh=mesh8)]
+        want = [np.asarray(decode_same_size_batch(b, lane_tile=16)[0])
+                for b in batches]
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        boxes = [(8, 16)] * 4
+        (got_c, _), = list(iter_decode_batch_crops(
+            [(blobs[:4], boxes)], crop_hw=(32, 32), lane_tile=16,
+            mesh=mesh8))
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch_crops)
+        want_c, _ = decode_same_size_batch_crops(
+            blobs[:4], boxes, crop_hw=(32, 32), lane_tile=16)
+        np.testing.assert_array_equal(np.asarray(got_c),
+                                      np.asarray(want_c))
