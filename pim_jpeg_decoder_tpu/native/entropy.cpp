@@ -21,6 +21,7 @@
 #include <cassert>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 #if defined(__BMI2__) || defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -629,8 +630,9 @@ inline int32_t dc_refine(ProgState& st, int32_t* block, int al) {
   return OK;
 }
 
-inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
-                        const FastAc* fast, int ss, int se, int al) {
+inline int32_t ac_first(ProgState& st, int32_t* block, uint64_t* nzp,
+                        const HuffTable& ac, const FastAc* fast, int ss,
+                        int se, int al) {
   if (st.eobrun > 0) {
     --st.eobrun;
     return OK;
@@ -652,6 +654,7 @@ inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
         st.br.drop((fa.packed & 0x0F) - (fa.packed >> 4));
         if (st.br.exhausted()) return ERR_OUT_OF_DATA;
         block[k] = shl32(fa.value, al);
+        *nzp |= 1ull << k;
         ++k;
       }
       continue;
@@ -675,13 +678,14 @@ inline int32_t ac_first(ProgState& st, int32_t* block, const HuffTable& ac,
     if (k > se) return ERR_AC_RANGE;
     block[k] = shl32(extend_signed(st.br.read_bits(s), s), al);
     if (st.br.exhausted()) return ERR_OUT_OF_DATA;
+    *nzp |= 1ull << k;
     ++k;
   }
   return OK;
 }
 
-inline int32_t ac_refine(ProgState& st, int32_t* block, const HuffTable& ac,
-                         int ss, int se, int al) {
+inline int32_t ac_refine(ProgState& st, int32_t* block, uint64_t* nzp,
+                         const HuffTable& ac, int ss, int se, int al) {
   const int32_t p1 = 1 << al;
   const int32_t m1 = shl32(-1, al);
   int k = ss;
@@ -720,7 +724,10 @@ inline int32_t ac_refine(ProgState& st, int32_t* block, const HuffTable& ac,
         if (st.br.exhausted()) return ERR_OUT_OF_DATA;
         ++k;
       }
-      if (newval && k <= se) block[k] = newval;
+      if (newval && k <= se) {
+        block[k] = newval;
+        *nzp |= 1ull << k;
+      }
       ++k;
     }
   }
@@ -776,14 +783,15 @@ inline int32_t dc_refine_fs(FastState& fs, int32_t* block, int al) {
 // AC-first: pairs stay behind explicit branches here (no benign-zero
 // trick): a malformed stream can re-send a band, leaving nonzero history
 // at positions a run skips, which a blind zero store would clobber.
-inline int32_t ac_first_fs(FastState& fs, int32_t* block, const HuffTable& ac,
-                           const FastAc* fac, int ss, int se, int al,
-                           int64_t* eobrun) {
+inline int32_t ac_first_fs(FastState& fs, int32_t* block, uint64_t* nzp,
+                           const HuffTable& ac, const FastAc* fac, int ss,
+                           int se, int al, int64_t* eobrun) {
   if (*eobrun > 0) {
     --*eobrun;
     return OK;
   }
   int32_t k = ss;
+  uint64_t nz = *nzp;
   while (k <= se) {
     fs.refill();
     const FastAc fa = fac[fs.peek12()];
@@ -791,87 +799,93 @@ inline int32_t ac_first_fs(FastState& fs, int32_t* block, const HuffTable& ac,
       // Slow: long code, wide magnitude, or EOBn (run-length bits).
       int32_t sym;
       int32_t rc = decode_symbol_fs(fs, ac, &sym);
-      if (rc != OK) return rc;
+      if (rc != OK) { *nzp = nz; return rc; }
       int r = sym >> 4;
       int s = sym & 0x0F;
       if (s == 0) {
         if (r != 15) {
           *eobrun = (1 << r) - 1;
           if (r) *eobrun += fs.take(r);
+          *nzp = nz;
           return OK;
         }
         k += 16;  // ZRL
         continue;
       }
       k += r;
-      if (k > se) return ERR_AC_RANGE;
+      if (k > se) { *nzp = nz; return ERR_AC_RANGE; }
       block[k] = shl32(extend_signed(fs.take(s), s), al);
+      nz |= 1ull << k;
       ++k;
       continue;
     }
     if (fa.run >= 16) {
       fs.consume(fa.packed & 0x0F);
-      if (fa.run == 17) return OK;  // EOB0 (eobrun stays 0)
-      k += 16;                      // ZRL
+      if (fa.run == 17) { *nzp = nz; return OK; }  // EOB0 (eobrun stays 0)
+      k += 16;                                     // ZRL
       continue;
     }
     const int32_t k1 = k + fa.run;
-    if (k1 > se) return ERR_AC_RANGE;
+    if (k1 > se) { *nzp = nz; return ERR_AC_RANGE; }
     if ((fa.run2enc & 16) && k1 < se) {  // coefficient pair, non-terminal
       fs.consume(fa.bits2);
       block[k1] = shl32(fa.value, al);
       const int32_t k2 = k1 + 1 + (fa.run2enc & 15);
-      if (k2 > se) return ERR_AC_RANGE;
+      if (k2 > se) { *nzp = nz | (1ull << k1); return ERR_AC_RANGE; }
       block[k2] = shl32(fa.val2, al);
+      nz |= (1ull << k1) | (1ull << k2);
       k = k2 + 1;
     } else if ((fa.run2enc & 32) && k1 < se) {  // coefficient then EOB0
       fs.consume(fa.bits2);
       block[k1] = shl32(fa.value, al);
+      *nzp = nz | (1ull << k1);
       return OK;
     } else {
       fs.consume(fa.packed & 0x0F);
       block[k1] = shl32(fa.value, al);
+      nz |= 1ull << k1;
       k = k1 + 1;
     }
   }
+  *nzp = nz;
   return OK;
 }
 
-inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
-                            const FastAc* fac, int ss, int se, int al,
-                            int64_t* eobrun) {
+inline int32_t ac_refine_fs(FastState& fs, int32_t* block, uint64_t* nzp,
+                            const HuffTable& ac, const FastAc* fac, int ss,
+                            int se, int al, int64_t* eobrun) {
   const int32_t p1 = 1 << al;
   const int32_t m1 = shl32(-1, al);
   int32_t k = ss;
 
-  // Nonzero-history bitmap (bit j = block[j] != 0), built once per block:
-  // refinement only reads correction bits AT nonzero positions and counts
-  // runs over zero positions, so with the mask the zero-position walk
-  // (the measured hot loop of refinement scans) collapses into bit ops.
-  // The compare loop auto-vectorizes; corrections keep positions nonzero,
-  // and the only mask mutation is the newval insert.
-  uint64_t nz = 0;
-#if defined(__AVX2__)
-  const __m256i zero = _mm256_setzero_si256();
-  for (int j = 0; j < 64; j += 8) {
-    const __m256i a =
-        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(block + j));
-    const uint32_t eq = static_cast<uint32_t>(
-        _mm256_movemask_ps(_mm256_castsi256_ps(
-            _mm256_cmpeq_epi32(a, zero))));
-    nz |= static_cast<uint64_t>(~eq & 0xFFu) << j;
-  }
-#else
-  for (int j = 0; j < 64; ++j) {
-    nz |= static_cast<uint64_t>(block[j] != 0) << j;
-  }
-#endif
+  // Nonzero-history bitmap (bit j = block[j] != 0): maintained
+  // PERSISTENTLY across scans by every writer (ac_first/ac_refine fast +
+  // careful variants), so refinement never touches the 256-byte block to
+  // discover its nonzero set — an EOB-covered block with no in-band
+  // nonzeros costs one 8-byte read.  Refinement only reads correction
+  // bits AT nonzero positions and counts runs over zero positions, so
+  // the zero-position walk collapses into bit ops; corrections keep
+  // positions nonzero, and the only mask mutation is the newval insert.
+  uint64_t nz = *nzp;
 
-  // One correction bit for an already-nonzero coefficient.
-  auto correct = [&](int idx) {
-    fs.refill();
-    if (fs.take(1) && (block[idx] & p1) == 0) {
-      block[idx] += block[idx] >= 0 ? p1 : m1;
+  // Correction bits for the ascending run of nonzero positions in
+  // `corr`: read ALL of them in one batched take (one refill covers
+  // >= 56 bits; a 64-spectral band can carry up to 62 in-band nonzeros,
+  // so chunk by 32) and apply top-aligned bit j to the j-th position —
+  // identical consumption order to the per-bit sequential walk.
+  auto correct_run = [&](uint64_t corr) {
+    while (corr) {
+      const int n = __builtin_popcountll(corr);
+      const int take_n = n > 32 ? 32 : n;
+      fs.refill();
+      const uint32_t v = fs.take(take_n);
+      for (int j = take_n - 1; j >= 0; --j) {
+        const int i = __builtin_ctzll(corr);
+        corr &= corr - 1;
+        if (((v >> j) & 1) && (block[i] & p1) == 0) {
+          block[i] += block[i] >= 0 ? p1 : m1;
+        }
+      }
     }
   };
   auto range_mask = [&](int lo) -> uint64_t {
@@ -897,14 +911,14 @@ inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
           r = 15;
         } else {
           fs.consume(tot);
-          if (tot - cl != 1) return ERR_BAD_AC_SYMBOL;
+          if (tot - cl != 1) { *nzp = nz; return ERR_BAD_AC_SYMBOL; }
           r = fa.run;
           newval = fa.value > 0 ? p1 : m1;
         }
       } else {
         int32_t sym;
         int32_t rc = decode_symbol_fs(fs, ac, &sym);
-        if (rc != OK) return rc;
+        if (rc != OK) { *nzp = nz; return rc; }
         r = sym >> 4;
         int s = sym & 0x0F;
         if (s == 0) {
@@ -915,7 +929,7 @@ inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
           }
           newval = 0;  // ZRL
         } else {
-          if (s != 1) return ERR_BAD_AC_SYMBOL;
+          if (s != 1) { *nzp = nz; return ERR_BAD_AC_SYMBOL; }
           newval = fs.take(1) ? p1 : m1;
         }
       }
@@ -933,12 +947,7 @@ inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
         const uint64_t nth = tmp & (~tmp + 1);  // lowest remaining set bit
 #endif
         const int target = nth ? __builtin_ctzll(nth) : se + 1;
-        uint64_t corr = nz & range & (nth ? nth - 1 : ~0ull);
-        while (corr) {
-          const int i = __builtin_ctzll(corr);
-          corr &= corr - 1;
-          correct(i);
-        }
+        correct_run(nz & range & (nth ? nth - 1 : ~0ull));
         k = target;
       }
       if (newval && k <= se) {
@@ -950,17 +959,53 @@ inline int32_t ac_refine_fs(FastState& fs, int32_t* block, const HuffTable& ac,
   }
 
   if (*eobrun > 0) {
-    if (k <= se) {
-      uint64_t corr = nz & range_mask(k);
-      while (corr) {
-        const int i = __builtin_ctzll(corr);
-        corr &= corr - 1;
-        correct(i);
-      }
-    }
+    if (k <= se) correct_run(nz & range_mask(k));
     --*eobrun;
   }
+  *nzp = nz;
   return OK;
+}
+
+// Total blocks across the concatenated (MCU-padded) component planes —
+// the size of the persistent nonzero-bitmap array that parallels them.
+inline int64_t total_plane_blocks(const int64_t* comp_offset,
+                                  const int32_t* comp_bwp,
+                                  const int32_t* comp_v, int32_t mcu_rows) {
+  int64_t total = 0;
+  for (int ci = 0; ci < 3; ++ci) {
+    if (comp_bwp[ci] <= 0) continue;
+    const int64_t end = comp_offset[ci] / 64 +
+        static_cast<int64_t>(comp_bwp[ci]) * mcu_rows * comp_v[ci];
+    if (end > total) total = end;
+  }
+  return total;
+}
+
+// Rebuild the bitmaps from plane contents (the per-scan reference entry
+// can be handed partially-decoded planes; the image-level entry keeps the
+// map incrementally instead).
+inline void build_nzmap(const int32_t* planes, int64_t total_blocks,
+                        uint64_t* nzmap) {
+  for (int64_t b = 0; b < total_blocks; ++b) {
+    const int32_t* block = planes + b * 64;
+    uint64_t nz = 0;
+#if defined(__AVX2__)
+    const __m256i zero = _mm256_setzero_si256();
+    for (int j = 0; j < 64; j += 8) {
+      const __m256i a =
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(block + j));
+      const uint32_t eq = static_cast<uint32_t>(
+          _mm256_movemask_ps(_mm256_castsi256_ps(
+              _mm256_cmpeq_epi32(a, zero))));
+      nz |= static_cast<uint64_t>(~eq & 0xFFu) << j;
+    }
+#else
+    for (int j = 0; j < 64; ++j) {
+      nz |= static_cast<uint64_t>(block[j] != 0) << j;
+    }
+#endif
+    nzmap[b] = nz;
+  }
 }
 
 }  // namespace
@@ -993,6 +1038,7 @@ static int32_t decode_progressive_scan_impl(
     const uint8_t* dc_counts, const uint8_t* dc_symbols,   // [nc][16]/[162]
     const uint8_t* ac_counts, const uint8_t* ac_symbols,
     int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
+    uint64_t* nzmap,                   // [total_blocks] nonzero bitmaps
     int32_t* err_unit) {
   if (nc < 1 || nc > 3 || nslots < 0 || nslots > 10) return ERR_BAD_ARGS;
 
@@ -1084,18 +1130,28 @@ static int32_t decode_progressive_scan_impl(
         };
         sync_rows();
         while (u < run_end && fs.pos + unit_slack <= data_len) {
-          int32_t rc = OK;
-          for (int s = 0; s < nslots && rc == OK; ++s) {
-            int32_t* block = row_base[s] + mx * col_step[s];
-            rc = ah == 0 ? dc_first_fs(fs, block, slot_ci[s],
-                                       dc_tabs[slot_scomp[s]],
-                                       fast_dc_tabs[slot_scomp[s]], al,
-                                       preds)
-                         : dc_refine_fs(fs, block, al);
-          }
-          if (rc != OK) {
-            *err_unit = static_cast<int32_t>(u);
-            return rc;
+          if (ah != 0) {
+            // DC refinement: one bit per slot — take the whole MCU's
+            // bits in one refill (first slot = first-taken bit = MSB).
+            fs.refill();
+            const uint32_t v = fs.take(nslots);
+            for (int s = 0; s < nslots; ++s) {
+              if ((v >> (nslots - 1 - s)) & 1) {
+                (row_base[s] + mx * col_step[s])[0] |= 1 << al;
+              }
+            }
+          } else {
+            int32_t rc = OK;
+            for (int s = 0; s < nslots && rc == OK; ++s) {
+              int32_t* block = row_base[s] + mx * col_step[s];
+              rc = dc_first_fs(fs, block, slot_ci[s],
+                               dc_tabs[slot_scomp[s]],
+                               fast_dc_tabs[slot_scomp[s]], al, preds);
+            }
+            if (rc != OK) {
+              *err_unit = static_cast<int32_t>(u);
+              return rc;
+            }
           }
           ++u;
           if (++mx == mcu_cols) {
@@ -1112,6 +1168,8 @@ static int32_t decode_progressive_scan_impl(
                                 * 64;
         int32_t* block = planes + comp_offset[ci0] +
                          (by * comp_bwp[ci0] + bx) * 64;
+        uint64_t* nzb = nzmap + comp_offset[ci0] / 64 +
+                        by * comp_bwp[ci0] + bx;
         while (u < run_end && fs.pos + unit_slack <= data_len) {
           int32_t rc;
           if (ss == 0) {
@@ -1119,10 +1177,10 @@ static int32_t decode_progressive_scan_impl(
                                        fast_dc_tabs[0], al, preds)
                          : dc_refine_fs(fs, block, al);
           } else {
-            rc = ah == 0 ? ac_first_fs(fs, block, ac_tabs[0], fast_tabs[0],
-                                       ss, se, al, &eobrun)
-                         : ac_refine_fs(fs, block, ac_tabs[0], fast_tabs[0],
-                                        ss, se, al, &eobrun);
+            rc = ah == 0 ? ac_first_fs(fs, block, nzb, ac_tabs[0],
+                                       fast_tabs[0], ss, se, al, &eobrun)
+                         : ac_refine_fs(fs, block, nzb, ac_tabs[0],
+                                        fast_tabs[0], ss, se, al, &eobrun);
           }
           if (rc != OK) {
             *err_unit = static_cast<int32_t>(u);
@@ -1130,10 +1188,31 @@ static int32_t decode_progressive_scan_impl(
           }
           ++u;
           block += 64;
+          ++nzb;
           if (++bx == bw) {
             bx = 0;
             ++by;
             block += row_pad;
+            nzb += row_pad / 64;
+          }
+          // AC-first EOB runs are pure skips (no bits consumed, no
+          // coefficients touched — unlike refinement, which reads
+          // correction bits per covered block), so fast-forward the whole
+          // run instead of decrementing block by block.  Capped at
+          // run_end: eobrun resets at restart boundaries, identical to
+          // the per-block walk.
+          if (eobrun > 0 && ss != 0 && ah == 0) {
+            int64_t skip = eobrun < run_end - u ? eobrun : run_end - u;
+            if (skip > 0) {
+              eobrun -= skip;
+              u += skip;
+              by = u / bw;
+              bx = u % bw;
+              block = planes + comp_offset[ci0] +
+                      (by * comp_bwp[ci0] + bx) * 64;
+              nzb = nzmap + comp_offset[ci0] / 64 + by * comp_bwp[ci0] +
+                    bx;
+            }
           }
         }
       }
@@ -1169,13 +1248,15 @@ static int32_t decode_progressive_scan_impl(
           }
         } else {
           int32_t* block = unit_block(u);
+          uint64_t* nzb = nzmap + (block - planes) / 64;
           if (ss == 0) {
             rc = ah == 0 ? dc_first(st, block, slot_ci[0], dc_tabs[0], al)
                          : dc_refine(st, block, al);
           } else {
-            rc = ah == 0 ? ac_first(st, block, ac_tabs[0], fast_tabs[0],
-                                    ss, se, al)
-                         : ac_refine(st, block, ac_tabs[0], ss, se, al);
+            rc = ah == 0 ? ac_first(st, block, nzb, ac_tabs[0],
+                                    fast_tabs[0], ss, se, al)
+                         : ac_refine(st, block, nzb, ac_tabs[0], ss, se,
+                                     al);
           }
         }
         if (rc != OK) {
@@ -1207,11 +1288,19 @@ int32_t pjt_decode_progressive_scan(
     const uint8_t* ac_counts, const uint8_t* ac_symbols,
     int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
     int32_t* err_unit) {
+  // The reference entry may be handed partially-decoded planes, so the
+  // nonzero bitmaps are rebuilt from plane contents here; the image-level
+  // entry below maintains them incrementally across scans instead.
+  const int64_t total_blocks =
+      total_plane_blocks(comp_offset, comp_bwp, comp_v, mcu_rows);
+  std::vector<uint64_t> nzmap(static_cast<size_t>(total_blocks));
+  build_nzmap(planes, total_blocks, nzmap.data());
   return decode_progressive_scan_impl(
       data, data_len, seg_offsets, num_segs, restart_interval, ss, se, ah,
       al, interleaved, mcu_rows, mcu_cols, nslots, slot_scomp, slot_ci,
       slot_qv, slot_qh, comp_v, comp_h, bw, bh, nc, dc_counts, dc_symbols,
-      ac_counts, ac_symbols, planes, comp_offset, comp_bwp, err_unit);
+      ac_counts, ac_symbols, planes, comp_offset, comp_bwp, nzmap.data(),
+      err_unit);
 }
 
 // Decode ALL scans of a progressive image in one call (binding.py stages
@@ -1238,6 +1327,12 @@ int32_t pjt_decode_progressive_image(
     int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
     int32_t* err_scan, int32_t* err_unit) {
   if (nscans < 1) return ERR_BAD_ARGS;
+  // Persistent nonzero bitmaps: planes arrive zeroed (binding.py
+  // allocates them fresh per image), so all-zero maps are correct, and
+  // every coefficient writer maintains them across the scan loop.
+  const int64_t total_blocks =
+      total_plane_blocks(comp_offset, comp_bwp, comp_v, mcu_rows);
+  std::vector<uint64_t> nzmap(static_cast<size_t>(total_blocks), 0);
   for (int32_t sc = 0; sc < nscans; ++sc) {
     const int32_t* p = scan_i32 + sc * 10;
     const int64_t off = scan_data[sc * 2];
@@ -1263,7 +1358,7 @@ int32_t pjt_decode_progressive_image(
         /*bw=*/p[8], /*bh=*/p[9], /*nc=*/p[7],
         dc_counts_all + sc * 3 * 16, dc_symbols_all + sc * 3 * 162,
         ac_counts_all + sc * 3 * 16, ac_symbols_all + sc * 3 * 162,
-        planes, comp_offset, comp_bwp, err_unit);
+        planes, comp_offset, comp_bwp, nzmap.data(), err_unit);
     if (rc != OK) {
       *err_scan = sc;
       return rc;
@@ -1271,6 +1366,44 @@ int32_t pjt_decode_progressive_image(
   }
   return OK;
 }
+
+namespace {
+// Inverse zigzag: natural position p holds zigzag index kUnzig[p]
+// (kZigzag[kUnzig[p]] == p) — lets the transport assembly write
+// SEQUENTIALLY and gather from the plane, which vectorizes.
+struct UnzigTable {
+  alignas(32) int32_t idx[64];
+  UnzigTable() {
+    for (int j = 0; j < 64; ++j) idx[kZigzag[j]] = j;
+  }
+};
+const UnzigTable kUnzig;
+
+inline void assemble_block(const int32_t* block, int16_t* slot_out) {
+#if defined(__AVX2__)
+  // 16 coefficients per step: two 8-wide gathers through the inverse
+  // permutation, one saturating int32->int16 pack (the exact clamp the
+  // scalar path applies), lane fix, sequential store.
+  for (int p = 0; p < 64; p += 16) {
+    const __m256i i0 = _mm256_load_si256(
+        reinterpret_cast<const __m256i*>(kUnzig.idx + p));
+    const __m256i i1 = _mm256_load_si256(
+        reinterpret_cast<const __m256i*>(kUnzig.idx + p + 8));
+    const __m256i a = _mm256_i32gather_epi32(block, i0, 4);
+    const __m256i b = _mm256_i32gather_epi32(block, i1, 4);
+    const __m256i s = _mm256_permute4x64_epi64(
+        _mm256_packs_epi32(a, b), 0xD8);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(slot_out + p), s);
+  }
+#else
+  for (int p = 0; p < 64; ++p) {
+    int32_t v = block[kUnzig.idx[p]];
+    v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+    slot_out[p] = static_cast<int16_t>(v);
+  }
+#endif
+}
+}  // namespace
 
 // Assemble the [num_mcus, g, 64] int16 natural-order transport from the
 // zigzag-order coefficient planes (de-zigzag + int16 saturation + slot
@@ -1294,12 +1427,7 @@ int32_t pjt_progressive_assemble(
           planes + comp_offset[ci] +
           (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
            (mx * comp_h[ci] + slot_qh[s])) * 64;
-      int16_t* slot_out = mcu_out + s * 64;
-      for (int j = 0; j < 64; ++j) {
-        int32_t v = block[j];
-        v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
-        slot_out[kZigzag[j]] = static_cast<int16_t>(v);
-      }
+      assemble_block(block, mcu_out + s * 64);
     }
   }
   return OK;
