@@ -214,19 +214,21 @@ def bench_dri_segment_parallel(threads: int = N_ENTROPY_THREADS) -> tuple:
 
 
 def bench_host_finishers(blobs) -> tuple:
-    """(host_color_mps, host_bmp_mps): the BMP path's per-core host
-    finishers — AVX2 upsample+BT.601 from the YCbCr wire layout and the
-    native BMP row serializer (both C++, GIL released; see
-    docs/deployment.md budget table)."""
+    """(host_color_mps, host_bmp_mps, host_fused_write_mps): the BMP
+    path's per-core host finishers — AVX2 upsample+BT.601 from the YCbCr
+    wire layout, the native BMP row serializer, and the r4 one-pass fused
+    wire-planes->BMP serializer the engine's write path uses (all C++,
+    GIL released; see docs/deployment.md budget table)."""
     import statistics as _st
 
     from pim_jpeg_decoder_tpu.codec.scanner import scan_jpeg
-    from pim_jpeg_decoder_tpu.io.bmp import encode_bmp
+    from pim_jpeg_decoder_tpu.io.bmp import _bmp_scaffold, encode_bmp
     from pim_jpeg_decoder_tpu.native import native_available
-    from pim_jpeg_decoder_tpu.native.binding import ycbcr_to_rgb_cpp
+    from pim_jpeg_decoder_tpu.native.binding import (ycbcr_to_bmp_rows_cpp,
+                                                     ycbcr_to_rgb_cpp)
 
     if not native_available():
-        return 0.0, 0.0  # pure-Python fallback host: fields stay honest
+        return 0.0, 0.0, 0.0  # pure-Python fallback host: stays honest
 
     h = scan_jpeg(blobs[0][1])
     mp = h.width * h.height / 1e6
@@ -235,7 +237,7 @@ def bench_host_finishers(blobs) -> tuple:
     rows420, cols420 = -(-h.height // 16), -(-h.width // 16)
     planes = rng.integers(0, 256, (g, 64, rows420 * cols420), np.uint8)
     rgb = rng.integers(0, 256, (h.height, h.width, 3), np.uint8)
-    color, bmp = [], []
+    color, bmp, fused = [], [], []
     for _ in range(5):
         t0 = time.monotonic()
         for _ in range(20):
@@ -246,7 +248,13 @@ def bench_host_finishers(blobs) -> tuple:
         for _ in range(20):
             encode_bmp(rgb)
         bmp.append(20 * mp / (time.monotonic() - t0))
-    return _st.median(color), _st.median(bmp)
+        t0 = time.monotonic()
+        for _ in range(20):
+            buf, rows, row_bytes = _bmp_scaffold(h.height, h.width)
+            ycbcr_to_bmp_rows_cpp(planes, 0, 2, 2, 3, rows420, cols420,
+                                  h.height, h.width, row_bytes, rows)
+        fused.append(20 * mp / (time.monotonic() - t0))
+    return _st.median(color), _st.median(bmp), _st.median(fused)
 
 
 def make_progressive_headers(blobs, n: int = 12):
@@ -679,7 +687,7 @@ def main_host_only(waited_s: float = 0.0) -> None:
     entropy_mt_mps = bench_host_entropy_mt(blobs)
     seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
     progressive_mps = bench_progressive(blobs)
-    color_mps, bmp_mps = bench_host_finishers(blobs)
+    color_mps, bmp_mps, fused_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
     exact = check_bit_exact_cpu_subprocess()
     result = {
@@ -701,6 +709,7 @@ def main_host_only(waited_s: float = 0.0) -> None:
         "host_progressive_mps": round(progressive_mps, 1),
         "host_color_mps": round(color_mps, 1),
         "host_bmp_mps": round(bmp_mps, 1),
+        "host_fused_write_mps": round(fused_mps, 1),
         "pil_single_thread_mps": round(pil_mps, 1),
         "bit_exact_vs_oracle": exact["ok"],
         "bit_exact_images": exact["images"],
@@ -750,6 +759,23 @@ def main() -> None:
 
     kernel_mps, ycbcr_kernel_mps = bench_device_kernel()
     tunnel_mbps = probe_tunnel_mbps()
+    # Crawl windows (<5 MB/s; the tunnel swings ~0.5-45 MB/s over tens of
+    # minutes) make every transfer-bound number meaningless.  The kernel
+    # sections above are tunnel-immune, so only the e2e/sweep half needs a
+    # healthy window — re-probe for one within a bounded budget before
+    # accepting the reduced crawl sweep (round-3 lesson: a transient bad
+    # window must not erase the round's e2e evidence).
+    crawl_budget = float(os.environ.get("PJT_BENCH_CRAWL_WAIT_S", "1800"))
+    t_crawl = time.perf_counter()
+    crawl_waited = 0.0
+    while tunnel_mbps < 5.0 and (time.perf_counter() - t_crawl
+                                 < crawl_budget):
+        print(f"# tunnel crawling at {tunnel_mbps:.2f} MB/s; waiting for "
+              f"a healthy window ({crawl_budget:.0f}s budget)",
+              file=sys.stderr)
+        time.sleep(180.0)
+        tunnel_mbps = probe_tunnel_mbps()
+        crawl_waited = time.perf_counter() - t_crawl
     crawl = tunnel_mbps < 5.0
     e2e_blobs = blobs[:12] if crawl else blobs
     mixed = make_mixed_corpus(small_only=crawl)
@@ -761,7 +787,7 @@ def main() -> None:
     entropy_mt_mps = bench_host_entropy_mt(blobs)
     seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
     progressive_mps = bench_progressive(blobs)
-    color_mps, bmp_mps = bench_host_finishers(blobs)
+    color_mps, bmp_mps, fused_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
     exact = check_bit_exact(blobs, variety, mixed, reduced=crawl)
 
@@ -786,6 +812,7 @@ def main() -> None:
         "host_progressive_mps": round(progressive_mps, 1),
         "host_color_mps": round(color_mps, 1),
         "host_bmp_mps": round(bmp_mps, 1),
+        "host_fused_write_mps": round(fused_mps, 1),
         "pil_single_thread_mps": round(pil_mps, 1),
         "bit_exact_vs_oracle": exact["ok"],
         "bit_exact_images": exact["images"],
@@ -801,6 +828,8 @@ def main() -> None:
     }
     if crawl:
         result["tunnel_crawl_reduced_sweep"] = True
+    if crawl_waited > 1.0:
+        result["tunnel_crawl_waited_s"] = round(crawl_waited)
     if waited > 1.0:
         result["tunnel_waited_s"] = round(waited)
     if exact["failures"]:

@@ -33,11 +33,19 @@ _CORE_OFFSET = 26  # 14-byte file header + 12-byte BITMAPCOREHEADER
 _INFO_OFFSET = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 
 
-def encode_bmp(rgb: np.ndarray) -> bytes:
-    """Encode an ``[H, W, 3]`` uint8 RGB array as a 24bpp BMP byte string."""
-    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
-        raise ValueError(f"expected [H, W, 3] uint8 RGB, got {rgb.shape} {rgb.dtype}")
-    height, width = rgb.shape[:2]
+# Fused YCbCr->BMP writes completed (engagement evidence: tests pin that
+# the engine's write path actually reaches the one-pass native serializer
+# rather than silently falling back to the two-pass raster route).
+_fused_ycbcr_writes = 0
+
+
+def fused_write_count() -> int:
+    return _fused_ycbcr_writes
+
+
+def _bmp_scaffold(height: int, width: int):
+    """Header-complete BMP buffer + a writable view of its pixel rows:
+    ``(buf, rows, row_bytes)`` with ``rows`` shaped [height, row_bytes]."""
     if width >= 1 << 31 or height >= 1 << 31:
         raise ValueError(
             f"BMP stores 32-bit signed dimensions; {width}x{height} too large")
@@ -61,15 +69,24 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     if dib is None:
         dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
                           0, height * row_bytes, 2835, 2835, 0, 0)
-
-    # Bottom-up BGR rows with padding, straight into the output buffer.
-    # The C++ fast path does the flip+swizzle in ONE memory-bound pass
-    # (~6x the NumPy fallback's reverse-strided gather + copy + tobytes).
     buf = bytearray(file_size)
     struct.pack_into("<2sIII", buf, 0, b"BM", file_size, 0, offset)
     buf[14:offset] = dib
     rows = np.frombuffer(buf, np.uint8, height * row_bytes,
                          offset).reshape(height, row_bytes)
+    return buf, rows, row_bytes
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an ``[H, W, 3]`` uint8 RGB array as a 24bpp BMP byte string."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError(f"expected [H, W, 3] uint8 RGB, got {rgb.shape} {rgb.dtype}")
+    height, width = rgb.shape[:2]
+    buf, rows, _row_bytes = _bmp_scaffold(height, width)
+
+    # Bottom-up BGR rows with padding, straight into the output buffer.
+    # The C++ fast path does the flip+swizzle in ONE memory-bound pass
+    # (~6x the NumPy fallback's reverse-strided gather + copy + tobytes).
     native_ok = False
     if height > 0 and width > 0:  # degenerate dims: NumPy path only
         try:
@@ -86,6 +103,29 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 def write_bmp(path: str, rgb: np.ndarray) -> None:
     with open(path, "wb") as f:
         f.write(encode_bmp(rgb))
+
+
+def write_bmp_ycbcr(path: str, planes: np.ndarray, mcu_off: int, v: int,
+                    h: int, ncomp: int, mcu_rows: int, mcu_cols: int,
+                    height: int, width: int) -> None:
+    """Write a BMP straight from the device's YCbCr wire planes.
+
+    Fuses nearest-neighbor upsample + fixed-point BT.601 + the bottom-up
+    BGR row serialization into ONE native pass over the output buffer —
+    byte-identical to ``write_bmp(path, assemble_raster_ycbcr(...))``
+    (tested) while skipping the intermediate [H, W, 3] raster that the
+    two-pass route writes and re-reads (~6 B/px less memory traffic; the
+    BMP path's largest non-entropy host cost, VERDICT r3 item 7).
+    Requires the native library; callers gate on ``native_available()``.
+    """
+    global _fused_ycbcr_writes
+    from pim_jpeg_decoder_tpu.native.binding import ycbcr_to_bmp_rows_cpp
+    buf, rows, row_bytes = _bmp_scaffold(height, width)
+    ycbcr_to_bmp_rows_cpp(planes, mcu_off, v, h, ncomp, mcu_rows, mcu_cols,
+                          height, width, row_bytes, rows)
+    _fused_ycbcr_writes += 1
+    with open(path, "wb") as f:
+        f.write(buf)
 
 
 def read_bmp(data) -> np.ndarray:

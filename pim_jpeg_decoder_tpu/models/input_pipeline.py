@@ -252,8 +252,10 @@ def _entropy_decode_pool(headers, prepare_threads: int, outs=None):
         return [entropy_decode(h, o) for h, o in zip(headers, outs)]
     # Idle-worker reuse: a batch with fewer images than workers leaves
     # cores idle, so give each image the spare share for restart-segment
-    # fan-out (no-op for non-DRI/small images — the native path clamps).
-    seg_threads = max(1, prepare_threads // n)
+    # fan-out (no-op for non-DRI/small images — the native path clamps;
+    # capped at the core count, where fan-out measured ~10% slower).
+    import os as _os
+    seg_threads = max(1, min(prepare_threads, _os.cpu_count() or 1) // n)
     if n == 1:
         return [entropy_decode(headers[0], outs[0], threads=seg_threads)]
     return list(_prep_pool(max(1, prepare_threads)).map(

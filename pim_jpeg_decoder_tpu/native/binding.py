@@ -75,12 +75,13 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_decode_progressive_image.restype = ctypes.c_int32
             lib.pjt_progressive_assemble.restype = ctypes.c_int32
             lib.pjt_ycbcr_to_rgb.restype = ctypes.c_int32
+            lib.pjt_ycbcr_to_bmp_rows.restype = ctypes.c_int32
             lib.pjt_destuff.restype = ctypes.c_int32
             lib.pjt_compact_wire.restype = ctypes.c_int32
             lib.pjt_bmp_rows.restype = ctypes.c_int32
             lib.pjt_raster_rgb.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 11:
+            if lib.pjt_abi_version() != 12:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -672,3 +673,42 @@ def ycbcr_to_rgb_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,
     if rc != 0:
         raise RuntimeError(f"pjt_ycbcr_to_rgb failed: {rc}")
     return out
+
+
+def ycbcr_to_bmp_rows_cpp(planes: np.ndarray, mcu_off: int, v: int, h: int,
+                          ncomp: int, mcu_rows: int, mcu_cols: int,
+                          height: int, width: int, row_bytes: int,
+                          out_rows: np.ndarray) -> None:
+    """Fused upsample + BT.601 + BMP row serialization from the YCbCr wire
+    layout: fills ``out_rows`` ([height, row_bytes] uint8, C-contiguous)
+    with bottom-up padded BGR rows, byte-identical to
+    ``ycbcr_to_rgb_cpp`` + ``bmp_rows_cpp`` while skipping the
+    intermediate RGB raster (the BMP path's largest remaining host cost,
+    reference analog: the per-pixel convert loop,
+    /root/reference/src/decoder_dpu.c:361-390)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native entropy decoder unavailable")
+    planes = np.ascontiguousarray(planes, np.uint8)
+    g = v * h + (2 if ncomp == 3 else 0)
+    if (planes.ndim != 3 or planes.shape[0] != g or planes.shape[1] != 64
+            or mcu_off < 0
+            or mcu_off + mcu_rows * mcu_cols > planes.shape[2]
+            or out_rows.dtype != np.uint8 or not out_rows.flags.c_contiguous
+            or out_rows.shape != (height, row_bytes)
+            or row_bytes < width * 3):
+        raise ValueError(
+            f"planes {planes.shape} / rows {out_rows.shape} inconsistent "
+            f"with v={v} h={h} ncomp={ncomp} "
+            f"mcus={mcu_rows}x{mcu_cols}+{mcu_off} {height}x{width}")
+    rc = lib.pjt_ycbcr_to_bmp_rows(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(planes.shape[2]), ctypes.c_int64(mcu_off),
+        ctypes.c_int32(v), ctypes.c_int32(h), ctypes.c_int32(ncomp),
+        ctypes.c_int32(mcu_rows), ctypes.c_int32(mcu_cols),
+        ctypes.c_int32(height), ctypes.c_int32(width),
+        ctypes.c_int64(row_bytes),
+        out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pjt_ycbcr_to_bmp_rows failed: {rc}")

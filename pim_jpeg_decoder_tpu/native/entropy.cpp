@@ -1715,10 +1715,23 @@ static inline uint8_t clamp255(int32_t x) {
   return static_cast<uint8_t>(x < 0 ? 0 : (x > 255 ? 255 : x));
 }
 
-int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
-                         int64_t mcu_off, int32_t v, int32_t h,
-                         int32_t ncomp, int32_t mcu_rows, int32_t mcu_cols,
-                         int32_t height, int32_t width, uint8_t* out) {
+// Shared emitter for the two destination layouts:
+//   BottomUpBGR = false: top-down [height, width, 3] RGB raster
+//                        (row_bytes = width * 3)
+//   BottomUpBGR = true:  bottom-up padded BGR rows straight into a BMP
+//                        pixel array (row_bytes >= width * 3) — fusing
+//                        upsample + color + row serialization skips the
+//                        intermediate RGB raster entirely (~6 B/px less
+//                        memory traffic on the BMP write path).
+extern "C++" {  // template: C++ linkage island inside the C export block
+template <bool BottomUpBGR>
+static int32_t ycbcr_emit(const uint8_t* planes, int64_t m_total,
+                          int64_t mcu_off, int32_t v, int32_t h,
+                          int32_t ncomp, int32_t mcu_rows, int32_t mcu_cols,
+                          int32_t height, int32_t width, int64_t row_bytes,
+                          uint8_t* out) {
+  const int R = BottomUpBGR ? 2 : 0;
+  const int B = BottomUpBGR ? 0 : 2;
   const int gy = v * h;
   for (int gr = 0; gr < mcu_rows; ++gr) {
     for (int s = 0; s < gy; ++s) {
@@ -1727,7 +1740,9 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
       for (int cy = 0; cy < 8; ++cy) {
         const int row = gr * v * 8 + qv * 8 + cy;
         if (row >= height) continue;
-        uint8_t* orow = out + static_cast<int64_t>(row) * width * 3;
+        uint8_t* orow =
+            out + static_cast<int64_t>(BottomUpBGR ? height - 1 - row
+                                                   : row) * row_bytes;
         for (int cx = 0; cx < 8; ++cx) {
           // Wire planes use COLUMN-major pixel order (px*8 + py).
           const int c = cx * 8 + cy;
@@ -1801,9 +1816,9 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
             _mm256_store_si256(reinterpret_cast<__m256i*>(bb), b);
             uint8_t* p = px0 + static_cast<int64_t>(mcu) * stride3;
             for (int j = 0; j < 8; ++j, p += stride3) {
-              p[0] = static_cast<uint8_t>(rr[j]);
+              p[R] = static_cast<uint8_t>(rr[j]);
               p[1] = static_cast<uint8_t>(gg[j]);
-              p[2] = static_cast<uint8_t>(bb[j]);
+              p[B] = static_cast<uint8_t>(bb[j]);
             }
           }
 #endif
@@ -1812,11 +1827,11 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
             const int32_t cb = static_cast<int32_t>(cbb[mcu]) - 128;
             const int32_t cr = static_cast<int32_t>(crb[mcu]) - 128;
             uint8_t* px = px0 + static_cast<int64_t>(mcu) * stride3;
-            px[0] = clamp255(y128 + ((kFixCrR * cr + kColorHalf)
+            px[R] = clamp255(y128 + ((kFixCrR * cr + kColorHalf)
                                      >> kColorBits));
             px[1] = clamp255(y128 + ((kFixCbG * cb + kFixCrG * cr
                                       + kColorHalf) >> kColorBits));
-            px[2] = clamp255(y128 + ((kFixCbB * cb + kColorHalf)
+            px[B] = clamp255(y128 + ((kFixCbB * cb + kColorHalf)
                                      >> kColorBits));
           }
         }
@@ -1824,6 +1839,39 @@ int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
     }
   }
   return 0;
+}
+}  // extern "C++"
+
+int32_t pjt_ycbcr_to_rgb(const uint8_t* planes, int64_t m_total,
+                         int64_t mcu_off, int32_t v, int32_t h,
+                         int32_t ncomp, int32_t mcu_rows, int32_t mcu_cols,
+                         int32_t height, int32_t width, uint8_t* out) {
+  return ycbcr_emit<false>(planes, m_total, mcu_off, v, h, ncomp, mcu_rows,
+                           mcu_cols, height, width,
+                           static_cast<int64_t>(width) * 3, out);
+}
+
+// Fused upsample + BT.601 + BMP row serialization: wire planes straight
+// to the bottom-up padded BGR pixel array (io/bmp.py owns the headers).
+// Identical integer spec to pjt_ycbcr_to_rgb -> byte-identical pixels;
+// skips the intermediate [H, W, 3] raster the two-pass path writes and
+// re-reads.
+int32_t pjt_ycbcr_to_bmp_rows(const uint8_t* planes, int64_t m_total,
+                              int64_t mcu_off, int32_t v, int32_t h,
+                              int32_t ncomp, int32_t mcu_rows,
+                              int32_t mcu_cols, int32_t height,
+                              int32_t width, int64_t row_bytes,
+                              uint8_t* out) {
+  if (row_bytes < static_cast<int64_t>(width) * 3) return -7;
+  const int64_t pad = row_bytes - static_cast<int64_t>(width) * 3;
+  if (pad) {
+    for (int64_t y = 0; y < height; ++y) {
+      std::memset(out + y * row_bytes + static_cast<int64_t>(width) * 3, 0,
+                  static_cast<size_t>(pad));
+    }
+  }
+  return ycbcr_emit<true>(planes, m_total, mcu_off, v, h, ncomp, mcu_rows,
+                          mcu_cols, height, width, row_bytes, out);
 }
 
 // Bottom-up padded BGR pixel rows from a dense [H, W, 3] RGB array --
@@ -1904,6 +1952,6 @@ int32_t pjt_raster_rgb(const uint8_t* raw, int64_t m_total,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 11; }
+int32_t pjt_abi_version() { return 12; }
 
 }  // extern "C"

@@ -20,6 +20,7 @@ validate-and-skip behavior (reference: src/decoder_host.cpp:120-123).
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 import time
@@ -195,9 +196,12 @@ class DecodeEngine:
             # their restart segments across cores instead of decoding the
             # whole bitstream on one (SURVEY.md section 2 item 4; the
             # native path clamps to the available segments/work, so this
-            # is a no-op for non-DRI or small images).
-            threads = (self.prepare_threads
-                       if header.num_mcus > self.budget_mcus else 1)
+            # is a no-op for non-DRI or small images).  Capped at the
+            # core count: fan-out on fewer cores than threads measured
+            # ~10% SLOWER (bench_dri_segment_parallel on the 1-core rig).
+            threads = 1
+            if header.num_mcus > self.budget_mcus:
+                threads = min(self.prepare_threads, os.cpu_count() or 1)
             coeffs = entropy_decode(header, threads=threads)
             return PreparedImage(name, header, coeffs, uid=uid)
 
@@ -398,6 +402,28 @@ class DecodeEngine:
 
     def _finish_image(self, img, off, raw, ycbcr: bool, write: bool,
                       results: Dict[int, FileResult]) -> None:
+        if (ycbcr and write and not self.keep_rgb
+                and img.band_target is None):
+            # One-pass fused finish: wire planes -> padded BGR BMP rows
+            # (upsample + color + serialize in a single native sweep, no
+            # intermediate RGB raster).  Byte-identical to the two-pass
+            # route below; band tiles and keep_rgb callers need the
+            # raster, so they take that route.
+            from pim_jpeg_decoder_tpu.native import native_available
+            if native_available():
+                from pim_jpeg_decoder_tpu.io.bmp import write_bmp_ycbcr
+                header = img.header
+                mode = S.mode_for(header.mode_key)
+                res = FileResult(
+                    img.name, True,
+                    megapixels=header.width * header.height / 1e6)
+                res.out_path = output_path(img.name)
+                write_bmp_ycbcr(res.out_path, raw, off, mode.v, mode.h,
+                                mode.ncomp, header.mcu_rows,
+                                header.mcu_cols, header.height,
+                                header.width)
+                results[img.uid] = res
+                return
         if ycbcr:
             rgb = assemble_raster_ycbcr(img.header, raw, mcu_off=off)
         elif self.scale != 1:

@@ -115,3 +115,38 @@ def test_native_rows_match_numpy(rng):
             b = bmp.encode_bmp(rgb)
         assert a == b, (h, w)
         np.testing.assert_array_equal(bmp.read_bmp(a), rgb)
+
+
+class TestFusedYcbcrBmp:
+    """write_bmp_ycbcr: one-pass wire-planes -> BMP fused serializer must
+    be byte-identical to the two-pass ycbcr_to_rgb + encode_bmp route."""
+
+    @pytest.mark.parametrize("v,h,ncomp,height,width", [
+        (2, 2, 3, 240, 320),    # 4:2:0
+        (1, 2, 3, 120, 168),    # 4:2:2
+        (2, 1, 3, 240, 104),    # 4:4:0
+        (1, 1, 3, 37, 61),      # 4:4:4, odd dims (row padding)
+        (1, 1, 1, 33, 47),      # grayscale, odd dims
+        (2, 2, 3, 255, 319),    # partial edge MCUs
+    ])
+    def test_matches_two_pass_route(self, tmp_path, v, h, ncomp,
+                                    height, width):
+        from pim_jpeg_decoder_tpu.io.bmp import encode_bmp, write_bmp_ycbcr
+        from pim_jpeg_decoder_tpu.native import native_available
+        from pim_jpeg_decoder_tpu.native.binding import ycbcr_to_rgb_cpp
+        if not native_available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(hash((v, h, ncomp)) % (1 << 31))
+        g = v * h + (2 if ncomp == 3 else 0)
+        rows_m = -(-height // (8 * v))
+        cols_m = -(-width // (8 * h))
+        m = rows_m * cols_m + 7  # slack: nonzero mcu_off support
+        planes = rng.integers(0, 256, (g, 64, m), np.uint8)
+        for off in (0, 5):
+            rgb = ycbcr_to_rgb_cpp(planes, off, v, h, ncomp, rows_m,
+                                   cols_m, height, width)
+            want = encode_bmp(rgb)
+            p = tmp_path / f"f_{v}{h}{ncomp}_{off}.bmp"
+            write_bmp_ycbcr(str(p), planes, off, v, h, ncomp, rows_m,
+                            cols_m, height, width)
+            assert p.read_bytes() == want

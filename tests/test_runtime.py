@@ -239,8 +239,10 @@ def test_dedicated_route_engages_segment_parallel_decode(monkeypatch, rng):
 
     if binding.load() is None:
         pytest.skip("native decoder unavailable")
-    # Shrink the amortization floor so a test-sized image fans out.
+    # Shrink the amortization floor so a test-sized image fans out, and
+    # report many cores (the engine caps fan-out at the core count).
     monkeypatch.setattr(binding, "_MIN_MCUS_PER_THREAD", 8)
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
     from pim_jpeg_decoder_tpu.utils.config import EngineConfig
 
     img = rng.integers(0, 256, (250, 210, 3), dtype=np.uint8)  # 16x14 MCUs
@@ -481,3 +483,29 @@ def test_engine_engages_native_raster_path(rng, monkeypatch):
     assert calls["n"] == 3, "native raster path did not engage"
     for (name, d), r in zip(blobs, report.results):
         np.testing.assert_array_equal(r.rgb, decode_bytes_oracle(d).rgb)
+
+
+def test_engine_write_uses_fused_ycbcr_bmp(tmp_path, photo_image):
+    """The engine's BMP write path must reach the one-pass fused
+    YCbCr->BMP serializer (not silently fall back to the two-pass raster
+    route — the r3 silent-fallback bug class), and the file must equal
+    the oracle's pixels."""
+    from pim_jpeg_decoder_tpu.io import bmp as bmp_mod
+    from pim_jpeg_decoder_tpu.native import native_available
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+    path = str(tmp_path / "img.jpg")
+    with open(path, "wb") as f:
+        f.write(data)
+    before = bmp_mod.fused_write_count()
+    cfg = EngineConfig(budget_mcus=512, lane_tile=128, prepare_threads=1,
+                       transport="ycbcr")
+    engine = DecodeEngine(config=cfg)  # keep_rgb=False -> fused eligible
+    report = engine.decode_paths([path], write=True)
+    assert report.ok_count == 1, [r.error for r in report.results]
+    assert bmp_mod.fused_write_count() > before, "fused path not engaged"
+    np.testing.assert_array_equal(read_bmp(report.results[0].out_path),
+                                  decode_bytes_oracle(data).rgb)

@@ -75,10 +75,10 @@ def main() -> None:
     for fn in ("pjt_decode_scan", "pjt_decode_segments",
                "pjt_decode_progressive_scan",
                "pjt_decode_progressive_image", "pjt_progressive_assemble",
-               "pjt_ycbcr_to_rgb", "pjt_destuff", "pjt_compact_wire",
+               "pjt_ycbcr_to_rgb", "pjt_ycbcr_to_bmp_rows", "pjt_destuff", "pjt_compact_wire",
                "pjt_bmp_rows", "pjt_raster_rgb", "pjt_abi_version"):
         getattr(lib, fn).restype = ctypes.c_int32
-    assert lib.pjt_abi_version() == 11
+    assert lib.pjt_abi_version() == 12
     with binding._lock:
         binding._lib = lib
         binding._load_failed = False

@@ -91,6 +91,13 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         # The ambient axon TPU plugin overrides JAX_PLATFORMS; pin via
         # config too (must happen before backend init — see conftest).
+        # CPU campaigns also get a virtual 8-device mesh so the engine's
+        # multi-chip path and the mesh= batch APIs fuzz alongside the
+        # single-device ones (mesh_check below).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
 
@@ -124,7 +131,7 @@ def main() -> None:
     t0 = time.monotonic()
     stats = {"valid": 0, "mismatch": 0, "corrupt_ok": 0,
              "corrupt_decoded": 0, "stream_batches": 0, "table_trials": 0,
-             "prog_table_trials": 0,
+             "prog_table_trials": 0, "mesh_trials": 0,
              "failures": []}
     batch = []
 
@@ -157,6 +164,72 @@ def main() -> None:
                 stats["failures"].append(("stream", "streamed != serial"))
                 return
         stats["stream_batches"] += len(batches)
+
+    def mesh_check() -> None:
+        """Property 6 (multi-chip batch APIs): decode_same_size_batch /
+        _crops and the streaming iterator with mesh= on the virtual mesh
+        must equal the single-device programs (random geometry, scale,
+        lane tile, batch size — incl. batches that don't divide the
+        mesh)."""
+        import jax
+        if len(jax.devices()) < 2:
+            return
+        from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_same_size_batch,
+            decode_same_size_batch_crops,
+            iter_decode_batches,
+        )
+        from pim_jpeg_decoder_tpu.parallel.mesh import make_mesh
+
+        ndev = len(jax.devices())
+        n = int(rng.choice([d for d in (2, 4, 8) if d <= ndev]))
+        mesh = make_mesh(n)
+        hh = int(rng.integers(17, 80))
+        ww = int(rng.integers(17, 80))
+        sampling = str(rng.choice(SAMPLINGS))
+        blobs = [encode_jpeg(rng.integers(0, 256, (hh, ww, 3), np.uint8),
+                             quality=int(rng.integers(50, 95)),
+                             sampling=sampling)
+                 for _ in range(int(rng.integers(1, 6)))]
+        lt = int(rng.choice([8, 16]))
+        scale = int(rng.choice([1, 1, 2]))
+        kw = dict(lane_tile=lt, scale=scale)
+        out, _ = decode_same_size_batch(blobs, mesh=mesh, **kw)
+        want, _ = decode_same_size_batch(blobs, **kw)
+        if not np.array_equal(np.asarray(out), np.asarray(want)):
+            stats["mismatch"] += 1
+            stats["failures"].append(("mesh", "batch != single-device"))
+            return
+        if rng.random() < 0.5:
+            (s_out, _), = list(iter_decode_batches([blobs], mesh=mesh,
+                                                   **kw))
+            if not np.array_equal(np.asarray(s_out), np.asarray(want)):
+                stats["mismatch"] += 1
+                stats["failures"].append(("mesh", "stream != single"))
+                return
+        # Random aligned crop box per image.
+        def pick(extent):
+            size = int(rng.integers(scale, extent + 1)) // scale * scale
+            size = max(size, scale)
+            off = int(rng.integers(0, extent - size + 1)) // scale * scale
+            return size, off
+        ch, _ = pick(hh)
+        cw, _ = pick(ww)
+        boxes = []
+        for _ in blobs:
+            y0 = int(rng.integers(0, hh - ch + 1)) // scale * scale
+            x0 = int(rng.integers(0, ww - cw + 1)) // scale * scale
+            boxes.append((y0, x0))
+        ckw = dict(boxes=boxes, crop_hw=(ch, cw), lane_tile=lt,
+                   scale=scale)
+        c_out, _ = decode_same_size_batch_crops(blobs, mesh=mesh, **ckw)
+        c_want, _ = decode_same_size_batch_crops(blobs, **ckw)
+        if not np.array_equal(np.asarray(c_out), np.asarray(c_want)):
+            stats["mismatch"] += 1
+            stats["failures"].append(("mesh", "crops != single-device"))
+            return
+        stats["mesh_trials"] += 1
 
     def table_check() -> None:
         """Property 1 at the entropy level: random canonical Huffman
@@ -361,6 +434,8 @@ def main() -> None:
             table_check()
         if rng.random() < 0.04:
             prog_table_check()
+        if rng.random() < 0.03:
+            mesh_check()
         name, data = random_jpeg(rng)
         mode = rng.random()
         if mode < 0.7:

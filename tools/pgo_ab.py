@@ -38,11 +38,11 @@ def load(path: str) -> ctypes.CDLL:
     lib = ctypes.CDLL(path)
     for fn in ("pjt_decode_scan", "pjt_decode_segments",
                "pjt_decode_progressive_scan", "pjt_decode_progressive_image",
-               "pjt_progressive_assemble", "pjt_ycbcr_to_rgb",
+               "pjt_progressive_assemble", "pjt_ycbcr_to_rgb", "pjt_ycbcr_to_bmp_rows",
                "pjt_destuff", "pjt_compact_wire", "pjt_bmp_rows", "pjt_raster_rgb",
                "pjt_abi_version"):
         getattr(lib, fn).restype = ctypes.c_int32
-    assert lib.pjt_abi_version() == 11
+    assert lib.pjt_abi_version() == 12
     return lib
 
 
