@@ -215,12 +215,15 @@ struct FastAc {
 
 inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
                           FastAc* fast) {
-  for (int i = 0; i < 4096; ++i) {
-    fast[i].run = -1;
-    fast[i].val2 = 0;
-    fast[i].run2enc = 0;
-    fast[i].bits2 = 0;
-  }
+  // Table init is a per-scan fixed cost (progressive images rebuild per
+  // scan): one 8-byte pattern store per entry instead of four field
+  // writes.
+  static_assert(sizeof(FastAc) == 8, "pattern fill assumes 8-byte FastAc");
+  const FastAc empty{0, -1, 0, 0, 0, 0};
+  uint64_t pat;
+  __builtin_memcpy(&pat, &empty, 8);
+  uint64_t* words = reinterpret_cast<uint64_t*>(fast);
+  for (int i = 0; i < 4096; ++i) words[i] = pat;
   int32_t code = 0;
   int k = 0;
   for (int l = 1; l <= 16; ++l) {
