@@ -201,6 +201,10 @@ def bench_dri_segment_parallel(threads: int = N_ENTROPY_THREADS) -> tuple:
     Image.fromarray(img).save(buf, format="JPEG", quality=75, subsampling=2,
                               restart_marker_rows=1)   # 96 segments
     header = scan_jpeg(buf.getvalue())
+    # Pillow <11 silently ignores restart_marker_rows; without segments the
+    # "parallel" column would measure serial decode.
+    assert header.restart_interval > 0, (
+        "encoder produced no restart intervals (Pillow too old?)")
     mp = header.width * header.height / 1e6
     serial, parallel = [], []
     for _ in range(5):

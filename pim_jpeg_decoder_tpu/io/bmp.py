@@ -26,6 +26,7 @@ Also includes a strict reader for round-trip tests.
 from __future__ import annotations
 
 import struct
+import threading
 
 import numpy as np
 
@@ -36,7 +37,9 @@ _INFO_OFFSET = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 # Fused YCbCr->BMP writes completed (engagement evidence: tests pin that
 # the engine's write path actually reaches the one-pass native serializer
 # rather than silently falling back to the two-pass raster route).
+# Finish-pool workers increment concurrently; += is not atomic.
 _fused_ycbcr_writes = 0
+_fused_lock = threading.Lock()
 
 
 def fused_write_count() -> int:
@@ -123,7 +126,8 @@ def write_bmp_ycbcr(path: str, planes: np.ndarray, mcu_off: int, v: int,
     buf, rows, row_bytes = _bmp_scaffold(height, width)
     ycbcr_to_bmp_rows_cpp(planes, mcu_off, v, h, ncomp, mcu_rows, mcu_cols,
                           height, width, row_bytes, rows)
-    _fused_ycbcr_writes += 1
+    with _fused_lock:
+        _fused_ycbcr_writes += 1
     with open(path, "wb") as f:
         f.write(buf)
 

@@ -213,13 +213,15 @@ def decode_scan_cpp(header: JpegHeader, threads: int = 1,
             raise JpegError(f"{msg} (MCU {err_mcu.value})")
 
     if threads == 1:
-        _seg_stats["serial_calls"] += 1
+        with _lock:  # pool worker threads also land here; += is not atomic
+            _seg_stats["serial_calls"] += 1
         err_mcu = ctypes.c_int32(-1)
         rc = lib.pjt_decode_scan(*common, *tail, ctypes.byref(err_mcu))
         raise_on_error(rc, err_mcu)
         return out
-    _seg_stats["parallel_calls"] += 1
-    _seg_stats["parallel_threads"] += threads
+    with _lock:
+        _seg_stats["parallel_calls"] += 1
+        _seg_stats["parallel_threads"] += threads
 
     if segs_used > seg_offsets.size:
         # Match the oracle's wording exactly: it fails at the FIRST absent

@@ -222,8 +222,10 @@ inline void build_fast_ac(const uint8_t* counts, const uint8_t* symbols,
   const FastAc empty{0, -1, 0, 0, 0, 0};
   uint64_t pat;
   __builtin_memcpy(&pat, &empty, 8);
-  uint64_t* words = reinterpret_cast<uint64_t*>(fast);
-  for (int i = 0; i < 4096; ++i) words[i] = pat;
+  // Per-entry memcpy (not a reinterpret_cast'd uint64_t store: FastAc has
+  // alignof 2, so that would be an aliasing/alignment violation); the
+  // compiler fuses these into the same 8-byte stores.
+  for (int i = 0; i < 4096; ++i) __builtin_memcpy(&fast[i], &pat, 8);
   int32_t code = 0;
   int k = 0;
   for (int l = 1; l <= 16; ++l) {

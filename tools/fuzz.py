@@ -208,14 +208,12 @@ def main() -> None:
                 stats["mismatch"] += 1
                 stats["failures"].append(("mesh", "stream != single"))
                 return
-        # Random aligned crop box per image.
+        # Random aligned crop box per image (per-image offsets below).
         def pick(extent):
             size = int(rng.integers(scale, extent + 1)) // scale * scale
-            size = max(size, scale)
-            off = int(rng.integers(0, extent - size + 1)) // scale * scale
-            return size, off
-        ch, _ = pick(hh)
-        cw, _ = pick(ww)
+            return max(size, scale)
+        ch = pick(hh)
+        cw = pick(ww)
         boxes = []
         for _ in blobs:
             y0 = int(rng.integers(0, hh - ch + 1)) // scale * scale
