@@ -221,7 +221,8 @@ def _decode_one_scan(header: JpegHeader, scan: ScanData,
                     _ac_refine(st, block, ac_tables[i], ss, se, al)
 
 
-def decode_progressive(header: JpegHeader, use_native: bool = True) -> np.ndarray:
+def decode_progressive(header: JpegHeader, use_native: bool = True,
+                       threads: int = 1) -> np.ndarray:
     """Decode all scans of a progressive JPEG.
 
     Returns coefficients ``[num_mcus, g, 64]`` int16 in natural order —
@@ -230,6 +231,8 @@ def decode_progressive(header: JpegHeader, use_native: bool = True) -> np.ndarra
 
     Per-scan decode runs in C++ when available (``use_native``), with this
     module's Python implementation as the semantic reference/fallback.
+    ``threads > 1`` fans the per-component scan chains across cores
+    (byte-identical output; see binding.decode_progressive_image_cpp).
     """
     if not header.progressive:
         raise JpegError("decode_progressive requires a progressive frame")
@@ -244,7 +247,7 @@ def decode_progressive(header: JpegHeader, use_native: bool = True) -> np.ndarra
             from pim_jpeg_decoder_tpu.native.binding import (
                 decode_progressive_image_cpp,
             )
-            return decode_progressive_image_cpp(header)
+            return decode_progressive_image_cpp(header, threads=threads)
 
     # Zigzag-order coefficient planes, padded to the MCU grid, in ONE flat
     # buffer (the C++ path indexes it via per-component offsets; the Python

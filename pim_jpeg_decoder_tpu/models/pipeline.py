@@ -34,6 +34,29 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
 )
 
 
+def _pad_for_mesh(num_mcus: int, lane_tile: int, mesh) -> int:
+    """Transport padding: each chip's shard must be whole lane tiles."""
+    unit = lane_tile if mesh is None else mesh.devices.size * lane_tile
+    return pad_mcus(num_mcus, unit)
+
+
+def _device_decode(padded, qidx, qpool, mode: S.ModeSpec, lane_tile: int,
+                   mesh, **kw) -> np.ndarray:
+    """Run the fused kernel single-device, or sharded over the MCU axis
+    when a mesh is given (same program per chip; no collectives — see
+    parallel/sharding.py).  Single-image latency paths accept ``mesh=``
+    so a large image's MCU grid can split across local chips, mirroring
+    the reference's many-DPUs-per-image scatter (reference:
+    src/decoder_host.cpp:125-128)."""
+    if mesh is None:
+        return np.asarray(decode_mcus(padded, qidx, qpool, mode,
+                                      lane_tile=lane_tile, **kw))
+    from pim_jpeg_decoder_tpu.parallel.sharding import decode_mcus_sharded
+    return np.asarray(decode_mcus_sharded(padded, qidx, qpool, mode,
+                                          mesh=mesh, lane_tile=lane_tile,
+                                          **kw))
+
+
 def entropy_decode(header: JpegHeader, out=None,
                    threads: int = 1) -> np.ndarray:
     """Entropy-decode via the native C++ fast path, NumPy fallback.
@@ -45,11 +68,12 @@ def entropy_decode(header: JpegHeader, out=None,
     passes transport-buffer slices to skip a copy.  ``threads > 1`` fans
     restart segments of a baseline DRI image across cores (the segment
     entry points the reference strips without exploiting, reference:
-    src/jpeg_scanner.cpp:423); ignored for progressive/non-DRI streams.
+    src/jpeg_scanner.cpp:423), or a progressive image's per-component
+    scan chains; ignored for baseline non-DRI streams.
     """
     if header.progressive:
         from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
-        coeffs = decode_progressive(header)
+        coeffs = decode_progressive(header, threads=threads)
         if out is not None:
             out[...] = coeffs
             return out
@@ -189,19 +213,21 @@ class TpuJpegDecoder:
     with device execution.
     """
 
-    def __init__(self, lane_tile: int = LANE_TILE, transport: str = "auto"):
+    def __init__(self, lane_tile: int = LANE_TILE, transport: str = "auto",
+                 mesh=None):
         if transport not in ("auto", "rgb", "ycbcr"):
             raise ValueError(
                 f"transport must be auto/rgb/ycbcr, got {transport!r}")
         self.lane_tile = lane_tile
         self.transport = transport
+        self.mesh = mesh
 
     def decode(self, data: bytes) -> DecodeResult:
         header = scan_jpeg(data)
         coeffs = entropy_decode(header)
         mode = S.mode_for(header.mode_key)
 
-        m_pad = pad_mcus(header.num_mcus, self.lane_tile)
+        m_pad = _pad_for_mesh(header.num_mcus, self.lane_tile, self.mesh)
         padded = np.zeros((m_pad, mode.g, 64), dtype=np.int16)
         padded[: header.num_mcus] = coeffs
         qidx = np.zeros(m_pad, dtype=np.int32)
@@ -213,13 +239,12 @@ class TpuJpegDecoder:
         ycbcr = (self.transport == "ycbcr"
                  or (self.transport == "auto" and mode.ycbcr_saves_bytes))
         if ycbcr:
-            planes = np.asarray(decode_mcus(
-                padded, qidx, qpool, mode, lane_tile=self.lane_tile,
-                ycbcr=True))
+            planes = _device_decode(padded, qidx, qpool, mode,
+                                    self.lane_tile, self.mesh, ycbcr=True)
             return DecodeResult(assemble_raster_ycbcr(header, planes),
                                 header)
-        raw_rgb = np.asarray(decode_mcus(padded, qidx, qpool, mode,
-                                         lane_tile=self.lane_tile, raw=True))
+        raw_rgb = _device_decode(padded, qidx, qpool, mode, self.lane_tile,
+                                 self.mesh, raw=True)
         return DecodeResult(assemble_raster_raw(header, raw_rgb), header)
 
     def decode_batch(self, blobs: Sequence[bytes]) -> List[DecodeResult]:
@@ -242,41 +267,44 @@ def decode_bytes(data: bytes) -> np.ndarray:
 
 
 def decode_scaled(data: bytes, scale: int,
-                  lane_tile: int = LANE_TILE) -> np.ndarray:
+                  lane_tile: int = LANE_TILE, mesh=None) -> np.ndarray:
     """Scaled decode: ``[ceil(H/scale), ceil(W/scale), 3]`` for scale 2/4/8.
 
     Reduced (8/scale)-point IDCT of the top-left frequency sub-block — the
     libjpeg ``scale_denom`` capability, TPU-native: device work and D2H
     shrink by ~scale^2, the natural fit for ML input pipelines that resize
-    anyway.  scale=1 is a full decode.
+    anyway.  scale=1 is a full decode.  ``mesh=`` shards the MCU grid
+    across local chips (bit-identical; tested).
     """
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
     if scale == 1:
-        return decode_bytes(data)
+        return TpuJpegDecoder(lane_tile, mesh=mesh).decode(data).rgb \
+            if mesh is not None else decode_bytes(data)
     header = scan_jpeg(data)
     coeffs = entropy_decode(header)
     mode = S.mode_for(header.mode_key)
 
-    m_pad = pad_mcus(header.num_mcus, lane_tile)
+    m_pad = _pad_for_mesh(header.num_mcus, lane_tile, mesh)
     padded = np.zeros((m_pad, mode.g, 64), np.int16)
     padded[: header.num_mcus] = coeffs
     qidx = np.zeros(m_pad, np.int32)
     qpool = build_qpool([header], mode)
 
-    raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
-                                 lane_tile=lane_tile, raw=True, scale=scale))
+    raw = _device_decode(padded, qidx, qpool, mode, lane_tile, mesh,
+                         raw=True, scale=scale)
     return assemble_raster_raw_scaled(header, raw, scale)
 
 
 def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,
-                  lane_tile: int = LANE_TILE) -> np.ndarray:
+                  lane_tile: int = LANE_TILE, mesh=None) -> np.ndarray:
     """Decode only the crop box ``[y0:y0+height, x0:x0+width]``.
 
     Entropy decode is inherently whole-scan (serial bitstream), but device
     work and transfer shrink to the MCU sub-grid covering the box — for an
     ImageNet-style random crop that is a ~3-5x cut.  Pixels are bit-identical
-    to the same slice of a full decode (tested).
+    to the same slice of a full decode (tested).  ``mesh=`` shards the
+    sub-grid's MCUs across local chips.
     """
     header = scan_jpeg(data)
     if not (0 <= y0 and 0 <= x0 and height > 0 and width > 0
@@ -301,19 +329,19 @@ def decode_region(data: bytes, y0: int, x0: int, height: int, width: int,
     sub_header = dataclasses.replace(header, height=(r1 - r0) * px_h,
                                      width=(c1 - c0) * px_w)
 
-    m_pad = pad_mcus(sub.shape[0], lane_tile)
+    m_pad = _pad_for_mesh(sub.shape[0], lane_tile, mesh)
     padded = np.zeros((m_pad, mode.g, 64), np.int16)
     padded[: sub.shape[0]] = sub
     qidx = np.zeros(m_pad, np.int32)
     qpool = build_qpool([header], mode)
 
     if mode.ycbcr_saves_bytes:
-        planes = np.asarray(decode_mcus(padded, qidx, qpool, mode,
-                                        lane_tile=lane_tile, ycbcr=True))
+        planes = _device_decode(padded, qidx, qpool, mode, lane_tile, mesh,
+                                ycbcr=True)
         raster = assemble_raster_ycbcr(sub_header, planes)
     else:
-        raw = np.asarray(decode_mcus(padded, qidx, qpool, mode,
-                                     lane_tile=lane_tile, raw=True))
+        raw = _device_decode(padded, qidx, qpool, mode, lane_tile, mesh,
+                             raw=True)
         raster = assemble_raster_raw(sub_header, raw)
     oy, ox = y0 - r0 * px_h, x0 - c0 * px_w
     return np.ascontiguousarray(raster[oy:oy + height, ox:ox + width])

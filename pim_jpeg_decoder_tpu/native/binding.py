@@ -81,7 +81,7 @@ def load() -> Optional[ctypes.CDLL]:
             lib.pjt_bmp_rows.restype = ctypes.c_int32
             lib.pjt_raster_rgb.restype = ctypes.c_int32
             lib.pjt_abi_version.restype = ctypes.c_int32
-            if lib.pjt_abi_version() != 12:
+            if lib.pjt_abi_version() != 13:
                 raise RuntimeError("native ABI mismatch")
             _lib = lib
         except Exception:
@@ -122,7 +122,9 @@ _MIN_MCUS_PER_THREAD = 2048
 # Engagement evidence for segment-parallel decode (the latent parallelism
 # of SURVEY.md section 2 item 4): production callers are expected to reach
 # the threads>1 branch for large DRI images, and tests pin that they do.
-_seg_stats = {"parallel_calls": 0, "parallel_threads": 0, "serial_calls": 0}
+_seg_stats = {"parallel_calls": 0, "parallel_threads": 0, "serial_calls": 0,
+              "prog_parallel_calls": 0, "prog_chain_threads": 0,
+              "prog_serial_calls": 0}
 
 
 def segment_decode_stats() -> dict:
@@ -458,7 +460,25 @@ def destuff_cpp(data: bytes, pos: int, stop_at_marker: bool):
             int(end_pos.value))
 
 
-def decode_progressive_image_cpp(header) -> np.ndarray:
+_Z16 = bytes(16)
+_Z162 = bytes(162)
+# Assemble slot-index arrays keyed by the slot tuple (a mode-level
+# constant: 6 distinct sampling modes exist, so this never grows).
+_ASSEMBLE_SLOTS: dict = {}
+
+
+def _assemble_slot_arrays(slots):
+    key = tuple(slots)
+    arrs = _ASSEMBLE_SLOTS.get(key)
+    if arrs is None:
+        slot_arr = np.array(slots, np.int32)
+        arrs = tuple(np.ascontiguousarray(slot_arr[:, j]) for j in range(3))
+        _ASSEMBLE_SLOTS[key] = arrs
+    return arrs
+
+
+def decode_progressive_image_cpp(header, threads: int = 1,
+                                 scan_seconds=None) -> np.ndarray:
     """Decode ALL scans of a progressive image in ONE native call and
     assemble the ``[num_mcus, g, 64]`` int16 natural-order transport.
 
@@ -467,6 +487,18 @@ def decode_progressive_image_cpp(header) -> np.ndarray:
     tested against that path), but with per-image instead of per-scan
     staging/dispatch — the Python overhead that dominated the progressive
     wall clock.
+
+    ``threads > 1`` partitions the scan script into per-component chains
+    and fans them across the shared pool: non-interleaved progressive
+    scans are single-component bitstream segments with no cross-component
+    data dependence (T.81 G.2), so the 2-3 chains decode concurrently
+    into disjoint plane ranges; each chain re-decodes the (small)
+    interleaved DC scans with writes masked to its own components
+    (``comp_mask``).  Output is byte-identical to serial decode (tested).
+
+    ``scan_seconds`` (optional ``[nscans]`` float64 array, threads=1 only)
+    receives per-scan decode seconds — the accounting surface behind
+    tools/prog_profile.py.
     """
     lib = load()
     if lib is None:
@@ -500,80 +532,143 @@ def decode_progressive_image_cpp(header) -> np.ndarray:
         comp_h[ci] = c.h
         comp_bwp[ci] = sizes[ci][1]
 
-    # Flat per-scan staging.  Metadata rows accumulate in Python lists and
-    # convert to the packed arrays in ONE np.array call each — per-element
-    # numpy assignment was the progressive path's hottest Python line.
+    # Flat per-scan staging.  Rows accumulate as FLAT Python int lists /
+    # bytes chunks and convert in ONE np.array / frombuffer call each —
+    # per-row numpy assignment and nested-list np.array were the
+    # progressive path's hottest Python lines (tools/prog_profile.py).
     data = b"".join(s.entropy_bytes for s in header.scans)
-    scan_data_l = []      # nscans x (offset, length) int64
+    scan_data_l = []      # flat nscans x 2 int64
     seg_idx_l = [0]       # nscans+1 prefix sums
-    scan_i32_l = []       # nscans x 10 int32
-    slots_l = []          # nscans x 40 int32 (10 slots x 4, zero-padded)
-    dc_counts = np.zeros((nscans * 3, 16), np.uint8)
-    dc_symbols = np.zeros((nscans * 3, 162), np.uint8)
-    ac_counts = np.zeros((nscans * 3, 16), np.uint8)
-    ac_symbols = np.zeros((nscans * 3, 162), np.uint8)
+    scan_i32_l = []       # flat nscans x 10 int32
+    slots_l = []          # flat nscans x 40 int32 (10 slots x 4, 0-padded)
+    z16, z162 = _Z16, _Z162
+    dcc, dcs, acc, acs = [], [], [], []    # 3 bytes rows per scan
+    spec_rows: dict = {}  # id(spec) -> (counts16, symbols162) bytes
+
+    def table_row(spec):
+        r = spec_rows.get(id(spec))
+        if r is None:
+            r = (spec.counts.tobytes(),
+                 spec.symbols.tobytes().ljust(162, b"\0"))
+            spec_rows[id(spec)] = r
+        return r
+
     seg_parts = []
+    pad40 = (0,) * 40
     off = 0
-    for sc, scan in enumerate(header.scans):
+    for scan in header.scans:
         spec = scan.spec
         nbytes = len(scan.entropy_bytes)
-        scan_data_l.append((off, nbytes))
+        scan_data_l += (off, nbytes)
         off += nbytes
-        seg_parts.append(np.asarray(scan.segment_offsets, np.int64))
-        seg_idx_l.append(seg_idx_l[-1] + len(scan.segment_offsets))
+        segs = scan.segment_offsets
+        seg_parts += segs
+        seg_idx_l.append(seg_idx_l[-1] + len(segs))
 
         comp_indices = scan.component_indices
         interleaved, slots, bw, bh = _scan_slots(header, scan)
         slot_row = [x for s in slots for x in s]
         ns = len(slots)
-        slot_row += (0,) * (40 - len(slot_row))
-        slots_l.append(slot_row)
-        scan_i32_l.append((spec.start_of_selection, spec.end_of_selection,
-                           spec.successive_high, spec.successive_low,
-                           1 if interleaved else 0, scan.restart_interval,
-                           ns, len(comp_indices), bw, bh))
-        for i in range(len(comp_indices)):
-            dspec = scan.dc_specs[i]
+        slots_l += slot_row
+        slots_l += pad40[len(slot_row):]
+        scan_i32_l += (spec.start_of_selection, spec.end_of_selection,
+                       spec.successive_high, spec.successive_low,
+                       1 if interleaved else 0, scan.restart_interval,
+                       ns, len(comp_indices), bw, bh)
+        nc = len(comp_indices)
+        for i in range(3):
+            dspec = scan.dc_specs[i] if i < nc else None
+            aspec = scan.ac_specs[i] if i < nc else None
             if dspec is not None:
-                dc_counts[sc * 3 + i] = dspec.counts
-                dc_symbols[sc * 3 + i, : dspec.symbols.size] = dspec.symbols
-            aspec = scan.ac_specs[i]
+                c, s = table_row(dspec)
+                dcc.append(c)
+                dcs.append(s)
+            else:
+                dcc.append(z16)
+                dcs.append(z162)
             if aspec is not None:
-                ac_counts[sc * 3 + i] = aspec.counts
-                ac_symbols[sc * 3 + i, : aspec.symbols.size] = aspec.symbols
+                c, s = table_row(aspec)
+                acc.append(c)
+                acs.append(s)
+            else:
+                acc.append(z16)
+                acs.append(z162)
     scan_data = np.array(scan_data_l, np.int64)
     seg_idx = np.array(seg_idx_l, np.int64)
     scan_i32 = np.array(scan_i32_l, np.int32)
     slots_all = np.array(slots_l, np.int32)
-    seg_offsets_all = (np.concatenate(seg_parts) if seg_parts
-                       else np.zeros(0, np.int64))
+    seg_offsets_all = np.array(seg_parts, np.int64)
+    dc_counts = np.frombuffer(b"".join(dcc), np.uint8)
+    dc_symbols = np.frombuffer(b"".join(dcs), np.uint8)
+    ac_counts = np.frombuffer(b"".join(acc), np.uint8)
+    ac_symbols = np.frombuffer(b"".join(acs), np.uint8)
     data_arr = np.frombuffer(data, np.uint8)
 
-    err_scan = ctypes.c_int32(-1)
-    err_unit = ctypes.c_int32(-1)
-    rc = lib.pjt_decode_progressive_image(
-        _vp(data_arr), ctypes.c_int64(data_arr.size),
-        ctypes.c_int32(nscans),
-        _vp(scan_data), _vp(seg_offsets_all), _vp(seg_idx),
-        _vp(scan_i32), _vp(slots_all),
-        _vp(comp_v), _vp(comp_h),
-        ctypes.c_int32(header.mcu_rows), ctypes.c_int32(header.mcu_cols),
-        _vp(dc_counts), _vp(dc_symbols), _vp(ac_counts), _vp(ac_symbols),
-        _vp(planes), _vp(comp_offset), _vp(comp_bwp),
-        ctypes.byref(err_scan), ctypes.byref(err_unit),
-    )
-    if rc != 0:
-        msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
-        raise JpegError(
-            f"{msg} (scan {err_scan.value}, unit {err_unit.value})")
+    def run_chain(comp_mask: int, seconds: np.ndarray | None):
+        err_scan = ctypes.c_int32(-1)
+        err_unit = ctypes.c_int32(-1)
+        rc = lib.pjt_decode_progressive_image(
+            _vp(data_arr), ctypes.c_int64(data_arr.size),
+            ctypes.c_int32(nscans),
+            _vp(scan_data), _vp(seg_offsets_all), _vp(seg_idx),
+            _vp(scan_i32), _vp(slots_all),
+            _vp(comp_v), _vp(comp_h),
+            ctypes.c_int32(header.mcu_rows), ctypes.c_int32(header.mcu_cols),
+            _vp(dc_counts), _vp(dc_symbols), _vp(ac_counts), _vp(ac_symbols),
+            _vp(planes), _vp(comp_offset), _vp(comp_bwp),
+            ctypes.c_int32(comp_mask),
+            (_vp(seconds) if seconds is not None else None),
+            ctypes.byref(err_scan), ctypes.byref(err_unit),
+        )
+        return rc, err_scan.value, err_unit.value
+
+    # Component-chain partition: greedy by padded block count into
+    # min(threads, ncomp) groups (luma carries most of the bits, so at
+    # 2 threads the natural split is [Y], [Cb, Cr]).
+    n_chains = max(1, min(threads, ncomp))
+    if n_chains > 1:
+        with _lock:
+            _seg_stats["prog_parallel_calls"] += 1
+            _seg_stats["prog_chain_threads"] += n_chains
+        groups = [[0, 0] for _ in range(n_chains)]  # [weight, mask]
+        for ci in sorted(range(ncomp),
+                         key=lambda c: -sizes[c][0] * sizes[c][1]):
+            g0 = min(groups, key=lambda g: g[0])
+            g0[0] += sizes[ci][0] * sizes[ci][1]
+            g0[1] |= 1 << ci
+        futures = [_segment_pool().submit(run_chain, mask, None)
+                   for _, mask in groups]
+        # Drain EVERY chain before any raise can unwind this frame: the
+        # staged arrays are locals and the native calls write through raw
+        # pointers into them (same use-after-free hazard as the segment
+        # fan-out above).
+        results, first_exc = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as exc:
+                first_exc = first_exc or exc
+        if first_exc is not None:
+            raise first_exc
+        bad = [r for r in results if r[0] != 0]
+        if bad:
+            # Serial order stops at the FIRST failing scan; the chain that
+            # saw the smallest scan index reports it (identical message).
+            rc, es, eu = min(bad, key=lambda r: r[1])
+            msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
+            raise JpegError(f"{msg} (scan {es}, unit {eu})")
+    else:
+        with _lock:
+            _seg_stats["prog_serial_calls"] += 1
+        rc, es, eu = run_chain(0x7, scan_seconds)
+        if rc != 0:
+            msg = _ERROR_MESSAGES.get(rc, f"native decode error {rc}")
+            raise JpegError(f"{msg} (scan {es}, unit {eu})")
 
     # Transport assembly (de-zigzag + saturation + slot gather) in C++.
     slots = header.slot_components()
     g = len(slots)
-    slot_arr = np.array(slots, np.int32)
-    slot_ci = np.ascontiguousarray(slot_arr[:, 0])
-    slot_qv = np.ascontiguousarray(slot_arr[:, 1])
-    slot_qh = np.ascontiguousarray(slot_arr[:, 2])
+    slot_ci, slot_qv, slot_qh = _assemble_slot_arrays(slots)
     out = np.empty((header.num_mcus, g, 64), np.int16)
     rc = lib.pjt_progressive_assemble(
         _vp(planes), _vp(comp_offset), _vp(comp_bwp),

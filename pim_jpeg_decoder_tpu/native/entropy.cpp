@@ -21,6 +21,7 @@
 #include <cassert>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #if defined(__BMI2__) || defined(__AVX2__)
 #include <immintrin.h>
@@ -153,7 +154,8 @@ struct HuffTable {
   uint16_t lut[256];       // (symbol << 8) | code_length for lengths <= 8
   int32_t maxcode[17];     // largest code of each length, or -1
   int32_t valoffset[17];   // symbol_index = code + valoffset[length]
-  const uint8_t* symbols;  // canonical symbol order (borrowed)
+  uint8_t symbols[162];    // canonical symbol order (owned: tables are
+                           // cached across calls, caller buffers are not)
   bool present;
 };
 
@@ -162,7 +164,7 @@ struct HuffTable {
 inline bool build_table(const uint8_t* counts, const uint8_t* symbols,
                         HuffTable* t) {
   for (int i = 0; i < 256; ++i) t->lut[i] = 0;
-  t->symbols = symbols;
+  __builtin_memcpy(t->symbols, symbols, 162);
   int32_t code = 0;
   int32_t k = 0;
   for (int l = 1; l <= 16; ++l) {
@@ -337,6 +339,28 @@ inline void build_fast_dc(const uint8_t* counts, const uint8_t* symbols,
     k += n;
   }
 }
+
+// Content-keyed table-build cache.  Progressive images rebuild per-scan
+// tables from identical DHT snapshots (files typically define each table
+// once), and corpus decodes repeat the standard tables image to image on
+// the same pool thread — a 178-byte memcmp skips the rebuild when the
+// definition is unchanged.  Callers pair each key with thread_local table
+// storage and must mark the key invalid when a build fails.
+struct TableKey {
+  uint8_t bytes[16 + 162];
+  bool valid = false;
+  // True = cache hit (tables for this key are already built).
+  bool check(const uint8_t* counts, const uint8_t* symbols) {
+    if (valid && !__builtin_memcmp(bytes, counts, 16) &&
+        !__builtin_memcmp(bytes + 16, symbols, 162)) {
+      return true;
+    }
+    __builtin_memcpy(bytes, counts, 16);
+    __builtin_memcpy(bytes + 16, symbols, 162);
+    valid = true;
+    return false;
+  }
+};
 
 // Top-aligned branchless bit cursor for the guarded fast path.  Valid only
 // while the caller guarantees >= 8 readable bytes at every refill() — the
@@ -887,9 +911,17 @@ inline int32_t ac_refine_fs(FastState& fs, int32_t* block, uint64_t* nzp,
       for (int j = take_n - 1; j >= 0; --j) {
         const int i = __builtin_ctzll(corr);
         corr &= corr - 1;
-        if (((v >> j) & 1) && (block[i] & p1) == 0) {
-          block[i] += block[i] >= 0 ? p1 : m1;
-        }
+        // Branchless apply: correction bits are ~random, so the naive
+        // `if (bit && !(block[i] & p1))` mispredicts about every other
+        // coefficient — the measured hot cost of refinement scans.
+        //   apply = bit & ~already_refined_at_this_level
+        //   delta = +p1 for positive history, -p1 (== m1) for negative
+        const int32_t b = block[i];
+        const uint32_t apply =
+            (v >> j) & ~(static_cast<uint32_t>(b) >> al) & 1u;
+        const int32_t delta =
+            p1 - ((b >> 31) & (2 * p1));  // b<0 -> -p1, else +p1
+        block[i] = b + static_cast<int32_t>(apply) * delta;
       }
     }
   };
@@ -1027,6 +1059,15 @@ inline void build_nzmap(const int32_t* planes, int64_t total_blocks,
 //   slots: for interleaved walks, slot_ci/slot_qv/slot_qh arrays [g'];
 //          sampling v/h per component in comp_v/comp_h.
 //   Tables: per scan-component snapshot DHT definitions.
+//   comp_mask: bit ci set = component ci's blocks are WRITTEN.  Interleaved
+//   scans always decode every slot's bits (the stream is shared) but
+//   masked-out slots store into a discard block — the mechanism behind
+//   component-partitioned parallel scan chains (binding.py fans the 2-3
+//   per-component chains of a progressive scan script across cores; each
+//   chain re-decodes the small interleaved DC scans and owns its
+//   component's planes exclusively).  Non-interleaved scans of masked-out
+//   components must be skipped by the CALLER (scans are independent
+//   bitstream segments, so skipping is free).
 //
 // Returns OK or a negative ErrorCode; *err_unit is the failing MCU/block.
 static int32_t decode_progressive_scan_impl(
@@ -1044,26 +1085,38 @@ static int32_t decode_progressive_scan_impl(
     const uint8_t* ac_counts, const uint8_t* ac_symbols,
     int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
     uint64_t* nzmap,                   // [total_blocks] nonzero bitmaps
+    int32_t comp_mask,
     int32_t* err_unit) {
   if (nc < 1 || nc > 3 || nslots < 0 || nslots > 10) return ERR_BAD_ARGS;
 
-  HuffTable dc_tabs[3];
-  HuffTable ac_tabs[3];
+  static thread_local HuffTable dc_tabs[3];
+  static thread_local HuffTable ac_tabs[3];
   static thread_local FastAc fast_tabs[3][4096];
   static thread_local FastDc fast_dc_tabs[3][4096];
+  static thread_local TableKey dc_keys[3], ac_keys[3];
   for (int i = 0; i < nc; ++i) {
-    if (!build_table(dc_counts + i * 16, dc_symbols + i * 162, &dc_tabs[i]) ||
-        !build_table(ac_counts + i * 16, ac_symbols + i * 162, &ac_tabs[i])) {
-      return ERR_BAD_ARGS;
-    }
-    if (ss > 0) {
-      // AC scans (first AND refinement) consult the fast table (build even
-      // for empty tables: a skipped build would leave stale entries).
-      build_fast_ac(ac_counts + i * 16, ac_symbols + i * 162, fast_tabs[i]);
-    }
-    if (ss == 0 && ah == 0) {
+    // Content-keyed rebuild skip: successive scans of a progressive image
+    // almost always reuse the tables of the previous scan at this slot
+    // (files define each DHT once).  On a miss, build ALL structures for
+    // the slot — zero-count tables yield all-slow entries, so building
+    // the fast tables unconditionally is correct and keeps the invariant
+    // "key valid => every structure matches the key".
+    if (!dc_keys[i].check(dc_counts + i * 16, dc_symbols + i * 162)) {
+      if (!build_table(dc_counts + i * 16, dc_symbols + i * 162,
+                       &dc_tabs[i])) {
+        dc_keys[i].valid = false;
+        return ERR_BAD_ARGS;
+      }
       build_fast_dc(dc_counts + i * 16, dc_symbols + i * 162,
                     fast_dc_tabs[i]);
+    }
+    if (!ac_keys[i].check(ac_counts + i * 16, ac_symbols + i * 162)) {
+      if (!build_table(ac_counts + i * 16, ac_symbols + i * 162,
+                       &ac_tabs[i])) {
+        ac_keys[i].valid = false;
+        return ERR_BAD_ARGS;
+      }
+      build_fast_ac(ac_counts + i * 16, ac_symbols + i * 162, fast_tabs[i]);
     }
   }
 
@@ -1089,6 +1142,11 @@ static int32_t decode_progressive_scan_impl(
   int64_t bitpos = (num_segs > 0 ? seg_offsets[0] : 0) * 8;
   int64_t eobrun = 0;
   int32_t preds[3] = {0, 0, 0};
+
+  // Discard target for masked-out interleaved slots: bits are consumed
+  // identically (stream position and DC predictors must track), stores
+  // land here and are never read back.
+  static thread_local int32_t discard_block[64];
 
   auto unit_block = [&](int64_t unit) -> int32_t* {
     if (interleaved) return nullptr;  // interleaved resolves per slot
@@ -1127,6 +1185,11 @@ static int32_t decode_progressive_scan_impl(
         auto sync_rows = [&]() {
           for (int s = 0; s < nslots; ++s) {
             const int ci = slot_ci[s];
+            if (!((comp_mask >> ci) & 1)) {
+              row_base[s] = discard_block;
+              col_step[s] = 0;
+              continue;
+            }
             row_base[s] = planes + comp_offset[ci] +
                           ((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci] +
                            slot_qh[s]) * 64;
@@ -1218,6 +1281,27 @@ static int32_t decode_progressive_scan_impl(
               nzb = nzmap + comp_offset[ci0] / 64 + by * comp_bwp[ci0] +
                     bx;
             }
+          } else if (eobrun > 0 && ss != 0) {
+            // Refinement EOB runs read correction bits only at in-band
+            // NONZERO positions; a covered block with none consumes no
+            // bits and is untouched (ac_refine_fs tail with corr == 0) —
+            // skip those in bulk by scanning the bitmap array
+            // (sequential 8-byte loads; chroma planes are mostly such
+            // blocks at web quality).
+            const uint64_t inband =
+                (~0ull >> (63 - se)) & ~((1ull << ss) - 1ull);
+            while (eobrun > 0 && u < run_end && !(*nzb & inband)) {
+              --eobrun;
+              ++u;
+              block += 64;
+              ++nzb;
+              if (++bx == bw) {
+                bx = 0;
+                ++by;
+                block += row_pad;
+                nzb += row_pad / 64;
+              }
+            }
           }
         }
       }
@@ -1245,9 +1329,11 @@ static int32_t decode_progressive_scan_impl(
             const int i = slot_scomp[s];
             const int ci = slot_ci[s];
             int32_t* block =
-                planes + comp_offset[ci] +
-                (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
-                 (mx * comp_h[ci] + slot_qh[s])) * 64;
+                ((comp_mask >> ci) & 1)
+                    ? planes + comp_offset[ci] +
+                          (((my * comp_v[ci] + slot_qv[s]) * comp_bwp[ci]) +
+                           (mx * comp_h[ci] + slot_qh[s])) * 64
+                    : discard_block;
             rc = ah == 0 ? dc_first(st, block, ci, dc_tabs[i], al)
                          : dc_refine(st, block, al);
           }
@@ -1257,11 +1343,18 @@ static int32_t decode_progressive_scan_impl(
           if (ss == 0) {
             rc = ah == 0 ? dc_first(st, block, slot_ci[0], dc_tabs[0], al)
                          : dc_refine(st, block, al);
+          } else if (ah == 0) {
+            rc = ac_first(st, block, nzb, ac_tabs[0], fast_tabs[0], ss,
+                          se, al);
           } else {
-            rc = ah == 0 ? ac_first(st, block, nzb, ac_tabs[0],
-                                    fast_tabs[0], ss, se, al)
-                         : ac_refine(st, block, nzb, ac_tabs[0], ss, se,
-                                     al);
+            // Same no-in-band-nonzeros EOB shortcut as the fast loop
+            // (consumes no bits, touches nothing — bypasses the call).
+            if (st.eobrun > 0 &&
+                !(*nzb & ((~0ull >> (63 - se)) & ~((1ull << ss) - 1ull)))) {
+              --st.eobrun;
+              continue;
+            }
+            rc = ac_refine(st, block, nzb, ac_tabs[0], ss, se, al);
           }
         }
         if (rc != OK) {
@@ -1305,7 +1398,7 @@ int32_t pjt_decode_progressive_scan(
       al, interleaved, mcu_rows, mcu_cols, nslots, slot_scomp, slot_ci,
       slot_qv, slot_qh, comp_v, comp_h, bw, bh, nc, dc_counts, dc_symbols,
       ac_counts, ac_symbols, planes, comp_offset, comp_bwp, nzmap.data(),
-      err_unit);
+      /*comp_mask=*/0x7, err_unit);
 }
 
 // Decode ALL scans of a progressive image in one call (binding.py stages
@@ -1318,6 +1411,13 @@ int32_t pjt_decode_progressive_scan(
 //   seg_idx      [nscans + 1] int64: per-scan slice of seg_offsets_all
 //   slots_all    [nscans, 10, 4] int32: (scomp, ci, qv, qh)
 //   dc/ac tables [nscans * 3][16] / [162] uint8
+//   comp_mask    bit ci set = write component ci (see
+//                decode_progressive_scan_impl; non-interleaved scans of
+//                masked-out components are SKIPPED here — free, each scan
+//                is its own bitstream segment).  0x7 = full decode.
+//   scan_seconds optional [nscans] double: per-scan wall seconds
+//                (nullptr = no timing) — the per-scan-type accounting
+//                behind tools/prog_profile.py.
 // On error *err_scan / *err_unit report the failing scan and unit.
 int32_t pjt_decode_progressive_image(
     const uint8_t* data, int64_t data_len,
@@ -1330,6 +1430,7 @@ int32_t pjt_decode_progressive_image(
     const uint8_t* dc_counts_all, const uint8_t* dc_symbols_all,
     const uint8_t* ac_counts_all, const uint8_t* ac_symbols_all,
     int32_t* planes, const int64_t* comp_offset, const int32_t* comp_bwp,
+    int32_t comp_mask, double* scan_seconds,
     int32_t* err_scan, int32_t* err_unit) {
   if (nscans < 1) return ERR_BAD_ARGS;
   // Persistent nonzero bitmaps: planes arrive zeroed (binding.py
@@ -1353,8 +1454,14 @@ int32_t pjt_decode_progressive_image(
       slot_qv[s] = sl[2];
       slot_qh[s] = sl[3];
     }
+    if (scan_seconds) scan_seconds[sc] = 0.0;
+    // Chain partitioning: a non-interleaved scan touches exactly one
+    // component; when it is masked out, this chain skips the whole scan.
+    if (!p[4] && nslots >= 1 && !((comp_mask >> slot_ci[0]) & 1)) continue;
     const int32_t num_segs = static_cast<int32_t>(seg_idx[sc + 1] -
                                                   seg_idx[sc]);
+    struct timespec t0, t1;
+    if (scan_seconds) clock_gettime(CLOCK_MONOTONIC, &t0);
     int32_t rc = decode_progressive_scan_impl(
         data + off, len, seg_offsets_all + seg_idx[sc], num_segs,
         /*restart_interval=*/p[5], /*ss=*/p[0], /*se=*/p[1], /*ah=*/p[2],
@@ -1363,7 +1470,12 @@ int32_t pjt_decode_progressive_image(
         /*bw=*/p[8], /*bh=*/p[9], /*nc=*/p[7],
         dc_counts_all + sc * 3 * 16, dc_symbols_all + sc * 3 * 162,
         ac_counts_all + sc * 3 * 16, ac_symbols_all + sc * 3 * 162,
-        planes, comp_offset, comp_bwp, nzmap.data(), err_unit);
+        planes, comp_offset, comp_bwp, nzmap.data(), comp_mask, err_unit);
+    if (scan_seconds) {
+      clock_gettime(CLOCK_MONOTONIC, &t1);
+      scan_seconds[sc] = (t1.tv_sec - t0.tv_sec) +
+                         (t1.tv_nsec - t0.tv_nsec) * 1e-9;
+    }
     if (rc != OK) {
       *err_scan = sc;
       return rc;
@@ -1476,20 +1588,32 @@ int32_t pjt_decode_segments(
     return ERR_BAD_ARGS;
   }
 
-  HuffTable dc_tabs[4];
-  HuffTable ac_tabs[4];
+  static thread_local HuffTable dc_tabs[4];
+  static thread_local HuffTable ac_tabs[4];
   static thread_local FastAc fast_tabs[4][4096];
   static thread_local FastDc fast_dc_tabs[4][4096];
+  static thread_local TableKey dc_keys[4], ac_keys[4];
   for (int t = 0; t < 4; ++t) {
-    if (!build_table(dc_counts + t * 16, dc_symbols + t * 162, &dc_tabs[t]) ||
-        !build_table(ac_counts + t * 16, ac_symbols + t * 162, &ac_tabs[t])) {
-      return ERR_BAD_ARGS;
+    // Build ALL structures for a slot whenever its key misses (zero-count
+    // tables correctly yield all-slow entries); a key hit means the
+    // thread_local tables already hold this exact definition.
+    if (!dc_keys[t].check(dc_counts + t * 16, dc_symbols + t * 162)) {
+      if (!build_table(dc_counts + t * 16, dc_symbols + t * 162,
+                       &dc_tabs[t])) {
+        dc_keys[t].valid = false;
+        return ERR_BAD_ARGS;
+      }
+      build_fast_dc(dc_counts + t * 16, dc_symbols + t * 162,
+                    fast_dc_tabs[t]);
     }
-    // Unconditional: zero-count tables correctly yield all-slow entries,
-    // and a skipped build would leave the thread_local table stale from a
-    // previous image on this pool thread.
-    build_fast_ac(ac_counts + t * 16, ac_symbols + t * 162, fast_tabs[t]);
-    build_fast_dc(dc_counts + t * 16, dc_symbols + t * 162, fast_dc_tabs[t]);
+    if (!ac_keys[t].check(ac_counts + t * 16, ac_symbols + t * 162)) {
+      if (!build_table(ac_counts + t * 16, ac_symbols + t * 162,
+                       &ac_tabs[t])) {
+        ac_keys[t].valid = false;
+        return ERR_BAD_ARGS;
+      }
+      build_fast_ac(ac_counts + t * 16, ac_symbols + t * 162, fast_tabs[t]);
+    }
   }
 
   const HuffTable* slot_dc[10];
@@ -1957,6 +2081,6 @@ int32_t pjt_raster_rgb(const uint8_t* raw, int64_t m_total,
   return 0;
 }
 
-int32_t pjt_abi_version() { return 12; }
+int32_t pjt_abi_version() { return 13; }
 
 }  // extern "C"

@@ -260,6 +260,38 @@ def test_dedicated_route_engages_segment_parallel_decode(monkeypatch, rng):
                                   decode_bytes_oracle(data).rgb)
 
 
+def test_dedicated_route_engages_progressive_chains(monkeypatch, rng):
+    """A dedicated-route PROGRESSIVE image entropy-decodes with
+    component-chain parallelism in production: the engine's prepare stage
+    must reach the chained branch, and output must equal serial decode."""
+    import io as _io
+
+    from PIL import Image
+
+    from pim_jpeg_decoder_tpu.native import binding
+
+    if binding.load() is None:
+        pytest.skip("native decoder unavailable")
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    from pim_jpeg_decoder_tpu.utils.config import EngineConfig
+
+    img = rng.integers(0, 256, (250, 210, 3), dtype=np.uint8)  # 16x14 MCUs
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=85,
+                              progressive=True, subsampling=2)
+    data = buf.getvalue()
+    before = binding.segment_decode_stats()["prog_parallel_calls"]
+    cfg = EngineConfig(budget_mcus=128, lane_tile=128, prepare_threads=4,
+                       max_launch_mcus=65536, num_devices=1)
+    engine = DecodeEngine(keep_rgb=True, config=cfg)
+    report = engine.decode_named_blobs([("prog", data)])
+    assert report.ok_count == 1, [r.error for r in report.results]
+    after = binding.segment_decode_stats()["prog_parallel_calls"]
+    assert after > before, "dedicated route decoded progressive serially"
+    np.testing.assert_array_equal(report.results[0].rgb,
+                                  decode_bytes_oracle(data).rgb)
+
+
 def test_ultrawide_image_tiles_within_launch_cap(rng):
     """A single MCU row wider than max_launch_mcus splits into column
     tiles — no launch exceeds the configured cap."""

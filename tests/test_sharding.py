@@ -243,3 +243,43 @@ class TestShardedInt8Wire:
         single = np.asarray(decode_mcus(
             padded, qidx, qpool, mode, lane_tile=LANE_TILE))
         np.testing.assert_array_equal(sharded, single)
+
+
+class TestSingleImageMeshAPIs:
+    """VERDICT r4 item 7: the single-image latency APIs accept ``mesh=``
+    and produce bit-identical pixels to their single-device dispatch."""
+
+    def test_decoder_mesh_matches(self, photo_image, eight_device_mesh):
+        from pim_jpeg_decoder_tpu.models.pipeline import TpuJpegDecoder
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        want = TpuJpegDecoder(lane_tile=LANE_TILE).decode(data).rgb
+        got = TpuJpegDecoder(lane_tile=LANE_TILE,
+                             mesh=eight_device_mesh).decode(data).rgb
+        np.testing.assert_array_equal(got, want)
+
+    def test_decoder_mesh_rgb_transport(self, photo_image,
+                                        eight_device_mesh):
+        from pim_jpeg_decoder_tpu.models.pipeline import TpuJpegDecoder
+        data = encode_jpeg(photo_image, quality=85, sampling="4:4:4")
+        want = TpuJpegDecoder(lane_tile=LANE_TILE).decode(data).rgb
+        got = TpuJpegDecoder(lane_tile=LANE_TILE,
+                             mesh=eight_device_mesh).decode(data).rgb
+        np.testing.assert_array_equal(got, want)
+
+    def test_decode_scaled_mesh_matches(self, photo_image,
+                                        eight_device_mesh):
+        from pim_jpeg_decoder_tpu.models.pipeline import decode_scaled
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        want = decode_scaled(data, 2, lane_tile=LANE_TILE)
+        got = decode_scaled(data, 2, lane_tile=LANE_TILE,
+                            mesh=eight_device_mesh)
+        np.testing.assert_array_equal(got, want)
+
+    def test_decode_region_mesh_matches(self, photo_image,
+                                        eight_device_mesh):
+        from pim_jpeg_decoder_tpu.models.pipeline import decode_region
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:2")
+        want = decode_region(data, 17, 23, 64, 48, lane_tile=LANE_TILE)
+        got = decode_region(data, 17, 23, 64, 48, lane_tile=LANE_TILE,
+                            mesh=eight_device_mesh)
+        np.testing.assert_array_equal(got, want)
