@@ -281,18 +281,47 @@ def make_progressive_headers(blobs, n: int = 12):
     return headers
 
 
-def bench_progressive(blobs) -> float:
-    """Host progressive (SOF2) decode throughput — capability beyond the
-    reference, so it gets its own number."""
+def bench_progressive(blobs) -> tuple:
+    """(serial_mps, chains_mps, pil_mps): host progressive (SOF2) decode
+    throughput — capability beyond the reference, so it gets its own
+    numbers.  ``chains_mps`` fans the per-component scan chains across
+    threads (expected ~1.0x on this 1-core rig — the multi-core lever,
+    docs/entropy_fast_path.md); ``pil_mps`` is PIL/libjpeg decoding the
+    SAME progressive fixtures single-thread (the like-for-like baseline:
+    bench's pil_single_thread_mps is PIL on the BASELINE corpus)."""
+    from PIL import Image
+
     from pim_jpeg_decoder_tpu.codec.progressive import decode_progressive
 
     headers = make_progressive_headers(blobs)
-    t0 = time.monotonic()
-    mp = 0.0
-    for h in headers:
-        decode_progressive(h)
-        mp += h.width * h.height / 1e6
-    return mp / (time.monotonic() - t0)
+    mp = sum(h.width * h.height for h in headers) / 1e6
+    serial, chains = [], []
+    decode_progressive(headers[0])  # build/load outside the timer
+    for _ in range(5):
+        t0 = time.monotonic()
+        for h in headers:
+            decode_progressive(h)
+        serial.append(mp / (time.monotonic() - t0))
+        t0 = time.monotonic()
+        for h in headers:
+            decode_progressive(h, threads=3)
+        chains.append(mp / (time.monotonic() - t0))
+    # PIL like-for-like: re-encode exactly as make_progressive_headers.
+    pil_rates = []
+    pdatas = []
+    for _, d in blobs[:len(headers)]:
+        img = Image.open(io.BytesIO(d)).convert("RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", progressive=True, quality=75,
+                 subsampling=2)
+        pdatas.append(buf.getvalue())
+    for _ in range(5):
+        t0 = time.monotonic()
+        for d in pdatas:
+            np.asarray(Image.open(io.BytesIO(d)).convert("RGB"))
+        pil_rates.append(mp / (time.monotonic() - t0))
+    return (statistics.median(serial), statistics.median(chains),
+            statistics.median(pil_rates))
 
 
 def bench_device_kernel() -> tuple:
@@ -690,7 +719,7 @@ def main_host_only(waited_s: float = 0.0) -> None:
     entropy_mps = bench_host_entropy(blobs)
     entropy_mt_mps = bench_host_entropy_mt(blobs)
     seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
-    progressive_mps = bench_progressive(blobs)
+    progressive_mps, prog_chains_mps, pil_prog_mps = bench_progressive(blobs)
     color_mps, bmp_mps, fused_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
     exact = check_bit_exact_cpu_subprocess()
@@ -711,6 +740,8 @@ def main_host_only(waited_s: float = 0.0) -> None:
         "seg_parallel_mps": round(seg_parallel_mps, 1),
         "seg_parallel_serial_mps": round(seg_serial_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
+        "host_progressive_chains_mps": round(prog_chains_mps, 1),
+        "pil_progressive_mps": round(pil_prog_mps, 1),
         "host_color_mps": round(color_mps, 1),
         "host_bmp_mps": round(bmp_mps, 1),
         "host_fused_write_mps": round(fused_mps, 1),
@@ -790,7 +821,7 @@ def main() -> None:
     entropy_mps = bench_host_entropy(blobs)
     entropy_mt_mps = bench_host_entropy_mt(blobs)
     seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
-    progressive_mps = bench_progressive(blobs)
+    progressive_mps, prog_chains_mps, pil_prog_mps = bench_progressive(blobs)
     color_mps, bmp_mps, fused_mps = bench_host_finishers(blobs)
     pil_mps = bench_pil(blobs)
     exact = check_bit_exact(blobs, variety, mixed, reduced=crawl)
@@ -814,6 +845,8 @@ def main() -> None:
         "seg_parallel_mps": round(seg_parallel_mps, 1),
         "seg_parallel_serial_mps": round(seg_serial_mps, 1),
         "host_progressive_mps": round(progressive_mps, 1),
+        "host_progressive_chains_mps": round(prog_chains_mps, 1),
+        "pil_progressive_mps": round(pil_prog_mps, 1),
         "host_color_mps": round(color_mps, 1),
         "host_bmp_mps": round(bmp_mps, 1),
         "host_fused_write_mps": round(fused_mps, 1),

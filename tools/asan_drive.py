@@ -78,7 +78,7 @@ def main() -> None:
                "pjt_ycbcr_to_rgb", "pjt_ycbcr_to_bmp_rows", "pjt_destuff", "pjt_compact_wire",
                "pjt_bmp_rows", "pjt_raster_rgb", "pjt_abi_version"):
         getattr(lib, fn).restype = ctypes.c_int32
-    assert lib.pjt_abi_version() == 12
+    assert lib.pjt_abi_version() == 13
     with binding._lock:
         binding._lib = lib
         binding._load_failed = False

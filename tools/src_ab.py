@@ -41,7 +41,7 @@ def load(path: str) -> ctypes.CDLL:
                "pjt_destuff", "pjt_compact_wire", "pjt_bmp_rows", "pjt_raster_rgb",
                "pjt_abi_version"):
         getattr(lib, fn).restype = ctypes.c_int32
-    assert lib.pjt_abi_version() == 12
+    assert lib.pjt_abi_version() == 13
     return lib
 
 
