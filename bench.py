@@ -95,10 +95,14 @@ def make_corpus() -> list:
     return blobs
 
 
-# Heterogeneous hardware corpus: (name, w, h, PIL subsampling or "gray").
+# Heterogeneous hardware corpus: (name, w, h, coding) with coding a PIL
+# subsampling id, "gray", "prog" (progressive SOF2), or "dri" (restart
+# intervals — routes the segment-parallel prepare branch).
 MIXED_SPECS = [
     ("mixed_2048x1536_420", 2048, 1536, 2),
     ("mixed_1600x1200_422", 1600, 1200, 1),
+    ("mixed_1280x960_420_prog", 1280, 960, "prog"),   # >= 1 MP progressive
+    ("mixed_1152x864_420_dri", 1152, 864, "dri"),     # ~1 MP, 54 segments
     ("mixed_1024x768_420", 1024, 768, 2),
     ("mixed_800x600_gray", 800, 600, "gray"),
     ("mixed_640x480_422", 640, 480, 1),
@@ -111,10 +115,12 @@ MIXED_SPECS = [
 
 def make_mixed_corpus(small_only: bool = False) -> list:
     """Mixed-size/mixed-mode corpus: heterogeneous dims (2048x1536 down to
-    97x61, odd sizes) across 4:2:0 / 4:2:2 / 4:4:4 / grayscale — exercises
-    partial bucketed batches, dedicated launches, and multi-image qpools
-    on the real chip (the reference's batcher exists precisely for mixed
-    corpora, reference: src/decoder_host.cpp:118-184)."""
+    97x61, odd sizes) across 4:2:0 / 4:2:2 / 4:4:4 / grayscale plus a >=1 MP
+    progressive and a DRI member (r5) — exercises the engine's FULL routing
+    surface on the real chip: partial bucketed batches, dedicated launches,
+    multi-image qpools, the progressive prepare path, and the
+    segment-parallel DRI branch (the reference's batcher exists precisely
+    for mixed corpora, reference: src/decoder_host.cpp:118-184)."""
     from PIL import Image
 
     rng = np.random.default_rng(1234)
@@ -127,6 +133,12 @@ def make_mixed_corpus(small_only: bool = False) -> list:
         if sub == "gray":
             Image.fromarray(img).convert("L").save(
                 buf, format="JPEG", quality=80)
+        elif sub == "prog":
+            Image.fromarray(img).save(buf, format="JPEG", quality=80,
+                                      subsampling=2, progressive=True)
+        elif sub == "dri":
+            Image.fromarray(img).save(buf, format="JPEG", quality=80,
+                                      subsampling=2, restart_marker_rows=1)
         else:
             Image.fromarray(img).save(buf, format="JPEG", quality=80,
                                       subsampling=sub)
@@ -325,7 +337,12 @@ def bench_progressive(blobs) -> tuple:
 
 
 def bench_device_kernel() -> tuple:
-    """Device-resident throughputs: (fused RGB decode, YCbCr-transport kernel).
+    """Device-resident throughputs with replication bands:
+    ``((rgb_min, rgb_med, rgb_max), (ycbcr_min, ycbcr_med, ycbcr_max))``
+    MP/s over >= 5 within-process paired samples (VERDICT r4 item 5: the
+    official artifact carries the spread, so round-over-round kernel
+    comparisons are meaningful despite this rig's ±30-50% cross-process
+    variance).
 
     Timed with the shared tunnel-immune harness
     (pim_jpeg_decoder_tpu/utils/devbench.py): an on-device ``lax.fori_loop``
@@ -379,8 +396,10 @@ def bench_device_kernel() -> tuple:
             first = o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]
             return first.astype(jnp.int32)
 
-        dt = devloop_seconds_per_launch(step, consume, n_hi=KERNEL_REPS)
-        out.append(mp_per_launch / dt)
+        dts = devloop_seconds_per_launch(step, consume, n_hi=KERNEL_REPS,
+                                         pairs=7, samples=True)
+        rates = sorted(mp_per_launch / dt for dt in dts)
+        out.append((rates[0], statistics.median(rates), rates[-1]))
     return tuple(out)
 
 
@@ -397,6 +416,7 @@ def bench_e2e(blobs) -> tuple:
     # Warmup: compile every mode present.
     engine.decode_named_blobs(blobs[:2])
     rates = []
+    stages = {}
     for run in range(3):  # tunnel bandwidth fluctuates 2-3x between runs
         # Rotate the decode order per run: identical batch packing would
         # re-issue byte-identical launches, which the tunnel's result
@@ -408,11 +428,16 @@ def bench_e2e(blobs) -> tuple:
         assert report.ok_count == len(order), [
             r.error for r in report.results if not r.ok]
         rates.append(report.total_megapixels / dt)
+        # Per-stage seconds of the latest run (the engine's own timers;
+        # producer/consumer stages overlap, so they exceed wall time).
+        stages = {f"{k}_s": round(v, 3)
+                  for k, (v, _) in report.timers.snapshot().items()}
+        stages["wall_s"] = round(dt, 3)
         if dt > 120:
             break  # tunnel-crawl window: don't triple a multi-minute pass
     # statistics.median averages the middle pair for even counts (a
     # 2-run crawl-break would otherwise report the max as the "median").
-    return statistics.median(rates), max(rates)
+    return statistics.median(rates), max(rates), stages
 
 
 def largest_same_size_group(blobs):
@@ -462,7 +487,20 @@ def bench_e2e_device(blobs) -> float:
         rates.append(run(r))
         if time.monotonic() - t0 > 120:
             break  # tunnel-crawl window
-    return statistics.median(rates)
+
+    # Stage decomposition (VERDICT r4 item 3): ONE instrumented pass with
+    # blocking stage boundaries, so "N MP/s, mostly tunnel" is on record
+    # (the throughput runs above stay fully async).  Mirrors the
+    # reference's per-stage profile (reference: src/decoder_host.cpp:379-394).
+    from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
+
+    timers = StageTimers()
+    out, _ = decode_same_size_batch(datas, prepare_threads=8, timers=timers)
+    with timers.stage("fetch"):
+        np.asarray(out[:, ::97, ::97, :])
+    stages = {f"{k}_s": round(v, 3)
+              for k, (v, _) in timers.snapshot().items()}
+    return statistics.median(rates), stages
 
 
 def bench_e2e_mixed(mixed) -> float:
@@ -520,7 +558,17 @@ def bench_e2e_stream(blobs) -> float:
         rates.append(run(r))
         if time.monotonic() - t0 > 120:
             break
-    return statistics.median(rates)
+
+    # One instrumented pass for the stage split (see bench_e2e_device).
+    from pim_jpeg_decoder_tpu.utils.profiling import StageTimers
+
+    timers = StageTimers()
+    for out, _ in iter_decode_batches(batches, prefetch=2, timers=timers):
+        with timers.stage("fetch"):
+            np.asarray(out[:, ::97, ::97, :])
+    stages = {f"{k}_s": round(v, 3)
+              for k, (v, _) in timers.snapshot().items()}
+    return statistics.median(rates), stages
 
 
 def make_variety_corpus() -> list:
@@ -792,7 +840,8 @@ def main() -> None:
     blobs = make_corpus()
     variety = make_variety_corpus()
 
-    kernel_mps, ycbcr_kernel_mps = bench_device_kernel()
+    kernel_band, ycbcr_band = bench_device_kernel()
+    kernel_mps, ycbcr_kernel_mps = kernel_band[1], ycbcr_band[1]
     tunnel_mbps = probe_tunnel_mbps()
     # Crawl windows (<5 MB/s; the tunnel swings ~0.5-45 MB/s over tens of
     # minutes) make every transfer-bound number meaningless.  The kernel
@@ -814,9 +863,9 @@ def main() -> None:
     crawl = tunnel_mbps < 5.0
     e2e_blobs = blobs[:12] if crawl else blobs
     mixed = make_mixed_corpus(small_only=crawl)
-    e2e_device_mps = bench_e2e_device(e2e_blobs)
-    e2e_stream_mps = bench_e2e_stream(e2e_blobs)
-    e2e_mps, e2e_best_mps = bench_e2e(e2e_blobs)
+    e2e_device_mps, e2e_device_stages = bench_e2e_device(e2e_blobs)
+    e2e_stream_mps, e2e_stream_stages = bench_e2e_stream(e2e_blobs)
+    e2e_mps, e2e_best_mps, e2e_stages = bench_e2e(e2e_blobs)
     e2e_mixed_mps = bench_e2e_mixed(mixed)
     entropy_mps = bench_host_entropy(blobs)
     entropy_mt_mps = bench_host_entropy_mt(blobs)
@@ -831,12 +880,17 @@ def main() -> None:
         "value": round(kernel_mps, 1),
         "unit": "MP/s",
         "vs_baseline": round(kernel_mps / pil_mps, 2),
+        "kernel_mps_band": [round(v, 1) for v in kernel_band],
         "ycbcr_kernel_mps": round(ycbcr_kernel_mps, 1),
+        "ycbcr_kernel_mps_band": [round(v, 1) for v in ycbcr_band],
         "e2e_device_mps": round(e2e_device_mps, 1),
         "e2e_stream_mps": round(e2e_stream_mps, 1),
         "e2e_mps": round(e2e_mps, 1),
         "e2e_best_mps": round(e2e_best_mps, 1),
         "e2e_mixed_mps": round(e2e_mixed_mps, 1),
+        "e2e_device_stages": e2e_device_stages,
+        "e2e_stream_stages": e2e_stream_stages,
+        "e2e_stages": e2e_stages,
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
         "host_entropy_mps_nt": round(entropy_mt_mps, 1),

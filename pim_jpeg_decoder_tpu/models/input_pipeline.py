@@ -275,57 +275,89 @@ def _maybe_compact(coeffs, wire: str):
     return coeffs
 
 
+import contextlib
+
+
+def _tstage(timers, name: str):
+    """`timers.stage(name)` or a no-op when no timers were passed."""
+    return timers.stage(name) if timers is not None else contextlib.nullcontext()
+
+
 def _host_stage(blobs: Sequence[bytes], lane_tile: int,
                 prepare_threads: int, wire: str, caller: str,
-                align: Optional[int] = None):
+                align: Optional[int] = None, timers=None):
     """Host half of a same-size batch decode: scan + entropy decode +
     transport staging + wire compaction.  Pure host work (no JAX calls),
     so it runs safely on a prefetch worker thread.  ``align`` (default
     ``lane_tile``) pads the transport to whole per-chip lane tiles for a
-    mesh dispatch."""
-    headers, h0, mode = _scan_same_size(blobs, caller)
+    mesh dispatch.  ``timers`` (optional StageTimers) accumulates
+    per-stage seconds using the engine's taxonomy (scan / entropy /
+    stage)."""
+    with _tstage(timers, "scan"):
+        headers, h0, mode = _scan_same_size(blobs, caller)
     batch = len(blobs)
     per_img = h0.num_mcus
     align = align or lane_tile
     m_pad = -(-(batch * per_img) // align) * align
 
-    coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
-    qidx = np.zeros(m_pad, np.int32)
+    with _tstage(timers, "stage"):
+        coeffs = np.zeros((m_pad, mode.g, 64), np.int16)
+        qidx = np.zeros(m_pad, np.int32)
     # Decode straight into the transport buffer's per-image slices (the
     # native decoder takes a caller-zeroed destination), skipping one
     # full-batch copy.
-    _entropy_decode_pool(
-        headers, prepare_threads,
-        outs=[coeffs[i * per_img:(i + 1) * per_img]
-              for i in range(batch)])
-    for i in range(batch):
-        qidx[i * per_img:(i + 1) * per_img] = i
-    qpool = build_qpool(headers, mode)
-    coeffs = _maybe_compact(coeffs, wire)
+    with _tstage(timers, "entropy"):
+        _entropy_decode_pool(
+            headers, prepare_threads,
+            outs=[coeffs[i * per_img:(i + 1) * per_img]
+                  for i in range(batch)])
+    with _tstage(timers, "stage"):
+        for i in range(batch):
+            qidx[i * per_img:(i + 1) * per_img] = i
+        qpool = build_qpool(headers, mode)
+        coeffs = _maybe_compact(coeffs, wire)
     return headers, h0, mode, coeffs, qidx, qpool, batch
 
 
 def _dispatch_staged(staged, lane_tile: int, scale: int, norm=None,
-                     mesh=None):
+                     mesh=None, timers=None):
     """Device half: H2D + fused kernel + raster relayout (async).
     With ``mesh``, inputs are placed sharded over the MCU axis and the
-    multi-chip program runs (see :func:`_sharded_batch_fn`)."""
+    multi-chip program runs (see :func:`_sharded_batch_fn`).  With
+    ``timers``, the h2d and device stages BLOCK at their boundaries so the
+    split is attributable (a profiling run — the un-instrumented path
+    stays fully async)."""
     headers, h0, mode, coeffs, qidx, qpool, batch = staged
     height, width = -(-h0.height // scale), -(-h0.width // scale)
     if mesh is not None:
         from pim_jpeg_decoder_tpu.parallel.sharding import place_for_mesh
-        coeffs, qidx, qpool = place_for_mesh(coeffs, qidx, qpool, mesh)
+        with _tstage(timers, "h2d"):
+            coeffs, qidx, qpool = place_for_mesh(coeffs, qidx, qpool, mesh)
+            if timers is not None:
+                jax.block_until_ready((coeffs, qidx, qpool))
         fn = _sharded_batch_fn(mesh, mode, lane_tile, _interpret(), batch,
                                h0.mcu_rows, h0.mcu_cols, height, width,
                                scale, norm)
-        return fn(coeffs, qidx, qpool), headers
-    out = _decode_batch_jit(
-        jnp.asarray(coeffs), jnp.asarray(qidx),
-        jnp.asarray(qpool, jnp.float32),
-        mode=mode, lane_tile=lane_tile, interpret=_interpret(),
-        batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
-        height=height, width=width,
-        scale=scale, norm=norm)
+        with _tstage(timers, "device"):
+            out = fn(coeffs, qidx, qpool)
+            if timers is not None:
+                jax.block_until_ready(out)
+        return out, headers
+    with _tstage(timers, "h2d"):
+        coeffs = jnp.asarray(coeffs)
+        qidx = jnp.asarray(qidx)
+        qpool = jnp.asarray(qpool, jnp.float32)
+        if timers is not None:
+            jax.block_until_ready((coeffs, qidx, qpool))
+    with _tstage(timers, "device"):
+        out = _decode_batch_jit(
+            coeffs, qidx, qpool,
+            mode=mode, lane_tile=lane_tile, interpret=_interpret(),
+            batch=batch, gh=h0.mcu_rows, gw=h0.mcu_cols,
+            height=height, width=width,
+            scale=scale, norm=norm)
+        if timers is not None:
+            jax.block_until_ready(out)
     return out, headers
 
 
@@ -339,8 +371,14 @@ def decode_same_size_batch(
     mean=None,
     std=None,
     mesh=None,
+    timers=None,
 ) -> Tuple[jax.Array, List[JpegHeader]]:
     """Decode same-sized JPEGs into one device-resident ``[B, H, W, 3]``.
+
+    ``timers`` (optional ``utils.profiling.StageTimers``) accumulates the
+    per-stage split (scan / entropy / stage / h2d / device) for profiling
+    runs; the h2d and device stages then block at their boundaries so the
+    attribution is real — leave it None on the throughput path.
 
     All images must share dimensions and sampling mode.  Returns the device
     array (uint8 by default, still on chip — feed it straight into
@@ -380,8 +418,9 @@ def decode_same_size_batch(
     ensure_compilation_cache()
     staged = _host_stage(blobs, lane_tile, prepare_threads, wire,
                          "decode_same_size_batch",
-                         align=_mesh_align(mesh, lane_tile))
-    return _dispatch_staged(staged, lane_tile, scale, norm, mesh)
+                         align=_mesh_align(mesh, lane_tile), timers=timers)
+    return _dispatch_staged(staged, lane_tile, scale, norm, mesh,
+                            timers=timers)
 
 
 def _prefetched(stage_thunks, prefetch: int):
@@ -431,6 +470,7 @@ def iter_decode_batches(
     mean=None,
     std=None,
     mesh=None,
+    timers=None,
 ):
     """Streaming same-size batch decode with host/device overlap.
 
@@ -464,10 +504,12 @@ def iter_decode_batches(
                 raise ValueError("empty batch")
             yield functools.partial(
                 _host_stage, blobs, lane_tile, prepare_threads, wire,
-                "iter_decode_batches", _mesh_align(mesh, lane_tile))
+                "iter_decode_batches", _mesh_align(mesh, lane_tile),
+                timers)
 
     for staged in _prefetched(stage_thunks(), prefetch):
-        yield _dispatch_staged(staged, lane_tile, scale, norm, mesh)
+        yield _dispatch_staged(staged, lane_tile, scale, norm, mesh,
+                               timers=timers)
 
 
 @functools.partial(

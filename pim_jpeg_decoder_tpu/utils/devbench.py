@@ -52,7 +52,7 @@ def rotating_args_step(fn: Callable, args_list: Sequence[tuple]) -> Callable:
 
 def devloop_seconds_per_launch(step: Callable, consume: Callable,
                                n_lo: int = 4, n_hi: int = 132,
-                               pairs: int = 5) -> float:
+                               pairs: int = 5, samples: bool = False):
     """Median steady-state seconds per launch of ``step``.
 
     Args:
@@ -102,4 +102,9 @@ def devloop_seconds_per_launch(step: Callable, consume: Callable,
         a = timed(n_lo)
         b = timed(n_hi)
         diffs.append((b - a) / (n_hi - n_lo))
+    if samples:
+        # Per-pair seconds-per-launch samples (already drift-cancelled by
+        # the pairing): callers report a min/median/max replication band
+        # so round-over-round comparisons carry the within-process spread.
+        return diffs
     return statistics.median(diffs)
