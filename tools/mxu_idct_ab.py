@@ -57,34 +57,39 @@ def _mat8() -> np.ndarray:
 
 def _kernel_mxu2pass(mode, lane_tile, pieces: int = 1):
     """Each pass = `pieces`^2 [8,8]@[8,8T] fp32 matmuls (pieces=2 models
-    the hi/lo-split op count of the exact formulation)."""
-    a = jnp.asarray(_mat8())
+    the hi/lo-split op count of the exact formulation).  The matrix
+    arrives as a kernel INPUT (Pallas forbids captured array constants)."""
     inv1 = np.float32(1.0 / (1 << (S.CONST_BITS - S.PASS1_BITS)))
     inv2 = np.float32(1.0 / (1 << (S.CONST_BITS + S.PASS1_BITS)))
 
-    def matpass(x, inv):                      # x: [8(contract), N] fp32
-        if pieces == 1:
-            y = jax.lax.dot(a, x, preferred_element_type=jnp.float32)
-        else:
-            # hi/lo split cost model: 4 matmuls + shifts/adds (int32
-            # recombine modeled by the adds below).
-            a_hi = jnp.floor(a / 256.0)
-            a_lo = a - a_hi * 256.0
-            x_hi = jnp.floor(x / 256.0)
-            x_lo = x - x_hi * 256.0
-            y = (jax.lax.dot(a_hi, x_hi,
-                             preferred_element_type=jnp.float32) * 65536.0
-                 + jax.lax.dot(a_hi, x_lo,
-                               preferred_element_type=jnp.float32) * 256.0
-                 + jax.lax.dot(a_lo, x_hi,
-                               preferred_element_type=jnp.float32) * 256.0
-                 + jax.lax.dot(a_lo, x_lo,
-                               preferred_element_type=jnp.float32))
-        # Round-shift stand-in (cost-representative conversions).
-        return jnp.round(y * inv).astype(jnp.int32).astype(jnp.float32)
-
-    def kernel(deq_ref, out_ref):
+    def kernel(mat_ref, deq_ref, out_ref):
         t = lane_tile
+        a = mat_ref[...]
+
+        def matpass(x, inv):                  # x: [8(contract), N] fp32
+            if pieces == 1:
+                y = jax.lax.dot(a, x, preferred_element_type=jnp.float32)
+            else:
+                # hi/lo split cost model: 4 matmuls + shifts/adds (int32
+                # recombine modeled by the adds below).
+                a_hi = jnp.floor(a / 256.0)
+                a_lo = a - a_hi * 256.0
+                x_hi = jnp.floor(x / 256.0)
+                x_lo = x - x_hi * 256.0
+                y = (jax.lax.dot(a_hi, x_hi,
+                                 preferred_element_type=jnp.float32)
+                     * 65536.0
+                     + jax.lax.dot(a_hi, x_lo,
+                                   preferred_element_type=jnp.float32)
+                     * 256.0
+                     + jax.lax.dot(a_lo, x_hi,
+                                   preferred_element_type=jnp.float32)
+                     * 256.0
+                     + jax.lax.dot(a_lo, x_lo,
+                                   preferred_element_type=jnp.float32))
+            # Round-shift stand-in (cost-representative conversions).
+            return jnp.round(y * inv).astype(jnp.int32).astype(jnp.float32)
+
         for s in range(mode.g):
             x = deq_ref[s].astype(jnp.float32).reshape(8, 8 * t)  # [v, h*T]
             y1 = matpass(x, inv1).reshape(8, 8, t)                # [r, h, T]
@@ -93,43 +98,48 @@ def _kernel_mxu2pass(mode, lane_tile, pieces: int = 1):
             spat = jnp.clip(y2.astype(jnp.int32), S.SAMPLE_MIN, S.SAMPLE_MAX)
             out_ref[s] = jnp.swapaxes(spat, 0, 1).reshape(64, t).astype(
                 jnp.int16)
-    return kernel
+    return kernel, _mat8()
 
 
 def _kernel_mxu64(mode, lane_tile):
     """Both passes as one [64, 64] @ [64, T] matmul per slot."""
-    a = _mat8()
-    b = np.kron(a, a).astype(np.float32)      # [64(kp), 64(vu)]
-    bj = jnp.asarray(b)
     inv = np.float32(1.0 / (1 << (2 * S.CONST_BITS)))
 
-    def kernel(deq_ref, out_ref):
-        t = lane_tile
+    def kernel(mat_ref, deq_ref, out_ref):
+        b = mat_ref[...]
         for s in range(mode.g):
             x = deq_ref[s].astype(jnp.float32)                    # [64, T]
-            y = jax.lax.dot(bj, x, preferred_element_type=jnp.float32)
+            y = jax.lax.dot(b, x, preferred_element_type=jnp.float32)
             spat = jnp.clip(jnp.round(y * inv).astype(jnp.int32),
                             S.SAMPLE_MIN, S.SAMPLE_MAX)
             out_ref[s] = spat.astype(jnp.int16)
-    return kernel
+    a = _mat8()
+    return kernel, np.kron(a, a).astype(np.float32)
 
 
-def _call(kernel, lane_tile=LANE_TILE):
+def _call(kernel, mat=None, lane_tile=LANE_TILE):
     def impl(deq):
         m = deq.shape[0]
         x = jnp.transpose(deq.astype(jnp.int16), (1, 2, 0))
+        in_specs = [pl.BlockSpec((MODE.g, 64, lane_tile),
+                                 lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)]
+        operands = [x]
+        if mat is not None:
+            in_specs.insert(0, pl.BlockSpec(
+                mat.shape, lambda i: (0,) * mat.ndim,
+                memory_space=pltpu.VMEM))
+            operands.insert(0, jnp.asarray(mat))
         return pl.pallas_call(
             kernel,
             grid=(m // lane_tile,),
-            in_specs=[pl.BlockSpec((MODE.g, 64, lane_tile),
-                                   lambda i: (0, 0, i),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((MODE.g, 64, lane_tile),
                                    lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((MODE.g, 64, m), jnp.int16),
             interpret=jax.default_backend() != "tpu",
-        )(x)
+        )(*operands)
     return jax.jit(impl)
 
 
@@ -148,11 +158,14 @@ def main() -> None:
         rng.integers(-2048, 2048, (M, MODE.g, 64)).astype(np.int16))
         for _ in range(8)]
 
+    k2, m2 = _kernel_mxu2pass(MODE, LANE_TILE)
+    k4, m4 = _kernel_mxu2pass(MODE, LANE_TILE, pieces=2)
+    k64, m64 = _kernel_mxu64(MODE, LANE_TILE)
     variants = {
         "butterfly": _call(_idct_kernel(MODE, LANE_TILE)),
-        "mxu2pass": _call(_kernel_mxu2pass(MODE, LANE_TILE)),
-        "mxu2pass4": _call(_kernel_mxu2pass(MODE, LANE_TILE, pieces=2)),
-        "mxu64": _call(_kernel_mxu64(MODE, LANE_TILE)),
+        "mxu2pass": _call(k2, m2),
+        "mxu2pass4": _call(k4, m4),
+        "mxu64": _call(k64, m64),
     }
     names = sys.argv[1:] or list(variants)
     results = {}
