@@ -396,10 +396,16 @@ def bench_device_kernel() -> tuple:
             first = o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]
             return first.astype(jnp.int32)
 
-        dts = devloop_seconds_per_launch(step, consume, n_hi=KERNEL_REPS,
-                                         pairs=7, samples=True)
-        rates = sorted(mp_per_launch / dt for dt in dts)
-        out.append((rates[0], statistics.median(rates), rates[-1]))
+        # Band over THREE independent medians-of-pairs: raw pair samples
+        # swing wildly on this tunnel (a single pair can even go negative
+        # when the short loop hits a slow ack), but each median-of-5 is
+        # stable; the min/med/max of three such medians is the honest
+        # within-process spread.
+        meds = sorted(
+            mp_per_launch / devloop_seconds_per_launch(
+                step, consume, n_hi=KERNEL_REPS, pairs=5)
+            for _ in range(3))
+        out.append((meds[0], meds[1], meds[2]))
     return tuple(out)
 
 

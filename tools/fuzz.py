@@ -407,8 +407,12 @@ def main() -> None:
                 r_py = decode_progressive(header, use_native=False)
             except JpegError as e:
                 e_py = str(e)
+            # Half the trials run the component-chain partition (r5,
+            # threads>1): output AND error reporting must match serial.
+            threads = int(rng.integers(2, 4)) if rng.random() < 0.5 else 1
             try:
-                r_cc = decode_progressive(header, use_native=True)
+                r_cc = decode_progressive(header, use_native=True,
+                                          threads=threads)
             except JpegError as e:
                 e_cc = str(e)
             if e_py is None and e_cc is None:
