@@ -49,3 +49,38 @@ def test_stage_contracts(rng):
     rgb = np.asarray(color_stage(spat, mode=mode, lane_tile=LANE_TILE))
     assert rgb.shape == (m, 4, 64, 3)
     assert rgb.dtype == np.uint8
+
+
+class TestDevbenchHarness:
+    """The measurement harness itself (utils/devbench.py): the bench's
+    replication bands ride on `samples=True`."""
+
+    def test_devloop_median_and_samples(self):
+        import statistics
+
+        import jax.numpy as jnp
+
+        from pim_jpeg_decoder_tpu.utils.devbench import (
+            devloop_seconds_per_launch,
+            rotating_args_step,
+        )
+
+        def fn(x):
+            return (x * 2 + 1).sum()[None]
+
+        args = [(jnp.arange(64) + i,) for i in range(4)]
+        step = rotating_args_step(fn, args)
+
+        def consume(o):
+            return o[0].astype(jnp.int32)
+
+        samples = devloop_seconds_per_launch(step, consume, n_lo=2, n_hi=8,
+                                             pairs=3, samples=True)
+        assert len(samples) == 3
+        med = devloop_seconds_per_launch(step, consume, n_lo=2, n_hi=8,
+                                         pairs=3)
+        assert isinstance(med, float)
+        # The scalar form IS the median of the per-pair samples (same
+        # estimator the bench's band brackets).
+        assert med <= max(samples) and med >= min(samples) or (
+            med == statistics.median(samples))
