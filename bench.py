@@ -396,16 +396,28 @@ def bench_device_kernel() -> tuple:
             first = o[0, 0, 0] if ycbcr else o[0, 0, 0, 0]
             return first.astype(jnp.int32)
 
-        # Band over THREE independent medians-of-pairs: raw pair samples
-        # swing wildly on this tunnel (a single pair can even go negative
-        # when the short loop hits a slow ack), but each median-of-5 is
-        # stable; the min/med/max of three such medians is the honest
-        # within-process spread.
-        meds = sorted(
-            mp_per_launch / devloop_seconds_per_launch(
-                step, consume, n_hi=KERNEL_REPS, pairs=5)
-            for _ in range(3))
-        out.append((meds[0], meds[1], meds[2]))
+        # Band over THREE independent medians, each over the POSITIVE pair
+        # samples of a batch: a pair with (long loop time) <= (short loop
+        # time) is physically impossible — it is a corrupted measurement
+        # (multi-second dispatch hiccups right after a tunnel outage dwarf
+        # the ~9 ms of real device-work difference) and is dropped a
+        # priori; a batch with < 3 surviving samples is re-probed.
+        def one_median():
+            for _ in range(3):
+                dts = devloop_seconds_per_launch(
+                    step, consume, n_hi=KERNEL_REPS, pairs=7, samples=True)
+                pos = [d for d in dts if d > 0]
+                if len(pos) >= 3:
+                    return statistics.median(pos)
+            return None
+
+        meds = sorted(m for m in (one_median() for _ in range(3))
+                      if m is not None)
+        if not meds:  # tunnel too sick for a band; keep the old estimator
+            meds = [devloop_seconds_per_launch(step, consume,
+                                               n_hi=KERNEL_REPS)]
+        rates = [mp_per_launch / m for m in reversed(meds)]
+        out.append((rates[0], statistics.median(rates), rates[-1]))
     return tuple(out)
 
 
