@@ -55,6 +55,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def check_lane_tile(lane_tile: int, m: int, interpret: bool) -> None:
+    """Fail fast with a CLEAR error for TPU-illegal lane tiles.
+
+    Mosaic requires the last block dimension to be a multiple of the
+    128-wide lane unit (or equal to the whole array dimension); interpret
+    mode (CPU tests) enforces nothing, so a small-tile config that works
+    in tests would otherwise die on real hardware inside the lowering
+    with an inscrutable BlockSpec error (found by the r5 hardware fuzz
+    campaign)."""
+    if interpret or lane_tile % 128 == 0 or lane_tile == m:
+        return
+    raise ValueError(
+        f"lane_tile={lane_tile} cannot lower on TPU: the lane (last) block"
+        f" dimension must be a multiple of 128 or equal to the padded MCU"
+        f" count ({m}). Use 128/256/512; smaller tiles are for"
+        f" interpret-mode tests only.")
+
+
 def _idct_pass1(x32):
     """Pass 1 over vertical freqs: list over spatial row r of [u, T].
 
@@ -330,6 +348,7 @@ def decode_mcus_impl(
     q = qpool.shape[0]
     gy = mode.luma_slots
     assert m % lane_tile == 0, (m, lane_tile)
+    check_lane_tile(lane_tile, m, interpret)
     assert scale in (1, 2, 4, 8), scale
     assert not (ycbcr and scale != 1), "ycbcr transport is full-scale only"
     nn = (8 // scale) ** 2

@@ -30,6 +30,7 @@ from pim_jpeg_decoder_tpu.ops.decode_kernel import (
     _interpret,
     _to_u8,
     _upsample,
+    check_lane_tile,
 )
 
 
@@ -96,6 +97,7 @@ def dequantize_stage_impl(coeffs, qidx, qpool, *, mode, lane_tile=LANE_TILE,
                           interpret=False):
     """[M, g, 64] i16 raw -> [M, g, 64] i16 dequantized (clamped)."""
     m = coeffs.shape[0]
+    check_lane_tile(lane_tile, m, interpret)
     q = qpool.shape[0]
     x = jnp.transpose(coeffs.astype(jnp.int16), (1, 2, 0))
     qp = jnp.transpose(qpool.astype(jnp.float32), (1, 2, 0))
@@ -114,6 +116,7 @@ def dequantize_stage_impl(coeffs, qidx, qpool, *, mode, lane_tile=LANE_TILE,
 def idct_stage_impl(deq, *, mode, lane_tile=LANE_TILE, interpret=False):
     """[M, g, 64] i16 dequantized -> [M, g, 64] i16 spatial samples."""
     m = deq.shape[0]
+    check_lane_tile(lane_tile, m, interpret)
     x = jnp.transpose(deq.astype(jnp.int16), (1, 2, 0))
     out = pl.pallas_call(
         _idct_kernel(mode, lane_tile),
@@ -131,6 +134,7 @@ def idct_stage_impl(deq, *, mode, lane_tile=LANE_TILE, interpret=False):
 def color_stage_impl(spat, *, mode, lane_tile=LANE_TILE, interpret=False):
     """[M, g, 64] i16 spatial -> [M, luma_slots, 64, 3] u8 RGB."""
     m = spat.shape[0]
+    check_lane_tile(lane_tile, m, interpret)
     gy = mode.luma_slots
     x = jnp.transpose(spat.astype(jnp.int16), (1, 2, 0))
     out = pl.pallas_call(

@@ -236,3 +236,28 @@ class TestDecodeRegion:
         data = encode_jpeg(photo_image, quality=85)
         with pytest.raises(ValueError):
             decode_region(data, 0, 0, 10_000, 16)
+
+
+def test_tpu_illegal_lane_tile_raises_clearly():
+    """Off the 128-lane unit, real-TPU lowering would die inside Mosaic
+    with an inscrutable BlockSpec error (found by the r5 hardware fuzz):
+    the kernel entry must fail fast with an actionable message instead."""
+    import numpy as np
+    import pytest
+
+    from pim_jpeg_decoder_tpu.ops import specs as S
+    from pim_jpeg_decoder_tpu.ops.decode_kernel import decode_mcus_impl
+
+    mode = S.mode_for((1, 1, 3))
+    coeffs = np.zeros((64, mode.g, 64), np.int16)
+    qidx = np.zeros(64, np.int32)
+    qpool = np.ones((1, mode.g, 64), np.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        decode_mcus_impl(coeffs, qidx, qpool, mode=mode, lane_tile=32,
+                         interpret=False)
+    # lane_tile == M (block == whole array) is legal on TPU; the check
+    # must not reject it (no lowering happens here: interpret=True).
+    from pim_jpeg_decoder_tpu.ops.decode_kernel import check_lane_tile
+    check_lane_tile(64, 64, interpret=False)
+    check_lane_tile(256, 512, interpret=False)
+    check_lane_tile(8, 512, interpret=True)

@@ -108,10 +108,18 @@ def main() -> None:
     from pim_jpeg_decoder_tpu.runtime.engine import DecodeEngine
     from pim_jpeg_decoder_tpu.utils.config import EngineConfig
 
+    # Lane tiles must be Mosaic-lowerable on a real TPU (multiples of the
+    # 128-lane unit); interpret mode (CPU campaigns) also exercises the
+    # small tiles that keep iterations fast.
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    engine_tiles = [128, 256] if on_tpu else [8, 32, 128]
+    mesh_tiles = [128] if on_tpu else [8, 16]
+
     def random_engine():
         """Random engine geometry: exercises bucketing, dedicated
         launches, chunked (banded) decode, every transport/wire/scale."""
-        lane_tile = int(rng.choice([8, 32, 128]))
+        lane_tile = int(rng.choice(engine_tiles))
         budget = lane_tile * int(rng.choice([4, 8, 16]))
         scale = int(rng.choice([1, 1, 1, 1, 2, 4, 8]))
         cfg = EngineConfig(
@@ -192,7 +200,7 @@ def main() -> None:
                              quality=int(rng.integers(50, 95)),
                              sampling=sampling)
                  for _ in range(int(rng.integers(1, 6)))]
-        lt = int(rng.choice([8, 16]))
+        lt = int(rng.choice(mesh_tiles))
         scale = int(rng.choice([1, 1, 2]))
         kw = dict(lane_tile=lt, scale=scale)
         out, _ = decode_same_size_batch(blobs, mesh=mesh, **kw)
