@@ -530,6 +530,7 @@ def bench_e2e_mixed(mixed) -> float:
     engine = DecodeEngine(budget_mcus=16384, prepare_threads=8)
     engine.decode_named_blobs(mixed)  # warmup: compile every geometry
     rates = []
+    stages = {}
     t_all = time.monotonic()
     for run in range(3):
         # Rotate per run so batch packing (and thus launch inputs) differ
@@ -544,9 +545,12 @@ def bench_e2e_mixed(mixed) -> float:
         assert report.ok_count == len(order), [
             r.error for r in report.results if not r.ok]
         rates.append(report.total_megapixels / dt)
+        stages = {f"{k}_s": round(v, 3)
+                  for k, (v, _) in report.timers.snapshot().items()}
+        stages["wall_s"] = round(dt, 3)
         if time.monotonic() - t_all > 150:
             break  # tunnel-crawl window
-    return statistics.median(rates)
+    return statistics.median(rates), stages
 
 
 def bench_e2e_stream(blobs) -> float:
@@ -884,7 +888,7 @@ def main() -> None:
     e2e_device_mps, e2e_device_stages = bench_e2e_device(e2e_blobs)
     e2e_stream_mps, e2e_stream_stages = bench_e2e_stream(e2e_blobs)
     e2e_mps, e2e_best_mps, e2e_stages = bench_e2e(e2e_blobs)
-    e2e_mixed_mps = bench_e2e_mixed(mixed)
+    e2e_mixed_mps, e2e_mixed_stages = bench_e2e_mixed(mixed)
     entropy_mps = bench_host_entropy(blobs)
     entropy_mt_mps = bench_host_entropy_mt(blobs)
     seg_serial_mps, seg_parallel_mps = bench_dri_segment_parallel()
@@ -909,6 +913,7 @@ def main() -> None:
         "e2e_device_stages": e2e_device_stages,
         "e2e_stream_stages": e2e_stream_stages,
         "e2e_stages": e2e_stages,
+        "e2e_mixed_stages": e2e_mixed_stages,
         "e2e_vs_pil": round(e2e_mps / pil_mps, 2),
         "host_entropy_mps": round(entropy_mps, 1),
         "host_entropy_mps_nt": round(entropy_mt_mps, 1),
