@@ -123,6 +123,16 @@ def test_two_process_batch_api():
     assert 0 < report["dcn_bytes"] <= 64 * report["hosts"]
 
 
+def test_four_process_batch_api():
+    """N=4 ranks: per-host megapixels balance exactly on the equal-size
+    corpus, every rank's decode matches the oracle, DCN stays metadata."""
+    report = _run_batch_harness(4, images=8)
+    assert report["hosts"] == 4
+    assert report["equality_ok"] is True
+    assert report["mp_balance"] >= 0.99
+    assert 0 < report["dcn_bytes"] <= 64 * report["hosts"]
+
+
 def test_two_process_scaling_harness():
     report = _run_scaling_harness(2, images=8)
     assert report["hosts"] == 2
