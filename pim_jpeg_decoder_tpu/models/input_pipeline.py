@@ -15,6 +15,7 @@ bucketing happens upstream); mixed-size corpora use
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import threading
 from typing import List, Optional, Sequence, Tuple
@@ -273,9 +274,6 @@ def _maybe_compact(coeffs, wire: str):
         from pim_jpeg_decoder_tpu.runtime.batching import compact_wire
         return compact_wire(coeffs)
     return coeffs
-
-
-import contextlib
 
 
 def _tstage(timers, name: str):
