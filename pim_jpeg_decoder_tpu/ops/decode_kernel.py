@@ -66,11 +66,11 @@ def check_lane_tile(lane_tile: int, m: int, interpret: bool) -> None:
     campaign)."""
     if interpret or lane_tile % 128 == 0 or lane_tile == m:
         return
+    where = (f" or equal to the padded MCU count ({m})" if m >= 0 else "")
     raise ValueError(
         f"lane_tile={lane_tile} cannot lower on TPU: the lane (last) block"
-        f" dimension must be a multiple of 128 or equal to the padded MCU"
-        f" count ({m}). Use 128/256/512; smaller tiles are for"
-        f" interpret-mode tests only.")
+        f" dimension must be a multiple of 128{where}. Use 128/256/512;"
+        f" smaller tiles are for interpret-mode tests only.")
 
 
 def _idct_pass1(x32):

@@ -156,6 +156,14 @@ class DecodeEngine:
             budget_mcus=budget_mcus, lane_tile=lane_tile,
             prepare_threads=prepare_threads, scale=scale)
         cfg.validate()
+        # Fail at construction, not per file: a lane tile off the Mosaic
+        # 128-lane unit cannot lower on real TPU (interpret-mode tests
+        # accept any multiple of 8; see ops.decode_kernel.check_lane_tile).
+        from pim_jpeg_decoder_tpu.ops.decode_kernel import (
+            _interpret,
+            check_lane_tile,
+        )
+        check_lane_tile(cfg.lane_tile, -1, _interpret())
         self.config = cfg
         self.budget_mcus = cfg.budget_mcus
         self.lane_tile = cfg.lane_tile
