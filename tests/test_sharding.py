@@ -283,3 +283,12 @@ class TestSingleImageMeshAPIs:
         got = decode_region(data, 17, 23, 64, 48, lane_tile=LANE_TILE,
                             mesh=eight_device_mesh)
         np.testing.assert_array_equal(got, want)
+
+    def test_decode_scaled_scale1_mesh(self, photo_image, eight_device_mesh):
+        """scale=1 with mesh routes through the mesh-enabled full decode."""
+        from pim_jpeg_decoder_tpu.models.pipeline import decode_scaled
+        data = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        want = decode_scaled(data, 1, lane_tile=LANE_TILE)
+        got = decode_scaled(data, 1, lane_tile=LANE_TILE,
+                            mesh=eight_device_mesh)
+        np.testing.assert_array_equal(got, want)
