@@ -218,6 +218,20 @@ def _scan_same_size(blobs: Sequence[bytes], caller: str):
     return headers, h0, S.mode_for(h0.mode_key)
 
 
+def _scan_same_mode(blobs: Sequence[bytes], caller: str):
+    """Parse headers and enforce an identical sampling MODE (dimensions
+    free — the mixed-size crop path's contract; the fused kernel is
+    compiled per sampling mode)."""
+    headers = [scan_jpeg(b) for b in blobs]
+    h0 = headers[0]
+    for h in headers[1:]:
+        if h.mode_key != h0.mode_key:
+            raise JpegError(
+                f"{caller} requires identical sampling modes: "
+                f"{h.mode_key} != {h0.mode_key}")
+    return headers, h0, S.mode_for(h0.mode_key)
+
+
 _PREP_POOLS: dict = {}
 _PREP_LOCK = threading.Lock()
 
@@ -581,9 +595,18 @@ def decode_same_size_batch_crops(
 
 def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
                       prepare_threads: int, wire: str, caller: str,
-                      align: Optional[int] = None):
+                      align: Optional[int] = None,
+                      same_size: bool = True):
     """Host half of a crop-batch decode (validation + scan + entropy +
-    per-crop sub-grid staging + wire compaction).  No JAX calls."""
+    per-crop sub-grid staging + wire compaction).  No JAX calls.
+
+    ``same_size=False`` admits MIXED image dimensions (modes must still
+    match — one compiled program per sampling mode): a fixed crop size
+    means a fixed covering MCU sub-grid, so differently-sized images
+    still pack into ONE static-shape launch; images whose own grid is
+    smaller than the covering grid zero-pad their tail (the per-image
+    dynamic slice never reaches the padding — the crop box is validated
+    in-bounds, so every sliced pixel lies in real rows/cols)."""
     _check_wire(wire)
     if scale not in (1, 2, 4, 8):
         raise ValueError(f"scale must be 1, 2, 4 or 8, got {scale}")
@@ -602,21 +625,26 @@ def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
                 f"crop origins and dims must be multiples of scale="
                 f"{scale} (got dims {crop_hw}, offending origins "
                 f"{bad[:3]})")
-    headers, h0, mode = _scan_same_size(blobs, caller)
-    for y0, x0 in boxes:
-        if not (0 <= y0 and 0 <= x0 and y0 + crop_h <= h0.height
-                and x0 + crop_w <= h0.width):
+    if same_size:
+        headers, h0, mode = _scan_same_size(blobs, caller)
+    else:
+        headers, h0, mode = _scan_same_mode(blobs, caller)
+    for h, (y0, x0) in zip(headers, boxes):
+        if not (0 <= y0 and 0 <= x0 and y0 + crop_h <= h.height
+                and x0 + crop_w <= h.width):
             raise ValueError(
                 f"crop [{y0}:{y0 + crop_h}, {x0}:{x0 + crop_w}] outside "
-                f"{h0.height}x{h0.width}")
+                f"{h.height}x{h.width}")
 
     px_h, px_w = mode.mcu_px_h, mode.mcu_px_w
-    gh, gw = h0.mcu_rows, h0.mcu_cols
     # Fixed covering sub-grid: +1 MCU of slack absorbs arbitrary sub-MCU
     # alignment; clamping the origin to keep the grid in-bounds keeps the
-    # SHAPE static (the pixel offset below compensates).
-    gh_c = min(gh, -(-crop_h // px_h) + 1)
-    gw_c = min(gw, -(-crop_w // px_w) + 1)
+    # SHAPE static (the pixel offset below compensates).  The clamp uses
+    # the LARGEST image grid; smaller images zero-pad (see docstring).
+    max_gh = max(h.mcu_rows for h in headers)
+    max_gw = max(h.mcu_cols for h in headers)
+    gh_c = min(max_gh, -(-crop_h // px_h) + 1)
+    gw_c = min(max_gw, -(-crop_w // px_w) + 1)
 
     batch = len(blobs)
     per_img = gh_c * gw_c
@@ -628,16 +656,19 @@ def _host_stage_crops(blobs, boxes, crop_hw, lane_tile: int, scale: int,
     oxs = np.zeros(batch, np.int32)
 
     decoded = _entropy_decode_pool(headers, prepare_threads)
-    for i, ((y0, x0), c) in enumerate(zip(boxes, decoded)):
-        r0 = min(y0 // px_h, gh - gh_c)
-        c0 = min(x0 // px_w, gw - gw_c)
+    for i, ((y0, x0), h, c) in enumerate(zip(boxes, headers, decoded)):
+        gh, gw = h.mcu_rows, h.mcu_cols
+        r0 = max(0, min(y0 // px_h, gh - gh_c))
+        c0 = max(0, min(x0 // px_w, gw - gw_c))
         # px_h/px_w are multiples of scale and y0/x0 are validated so, so
         # the residual offsets divide exactly.
         oys[i] = (y0 - r0 * px_h) // scale
         oxs[i] = (x0 - c0 * px_w) // scale
         grid = c[: gh * gw].reshape(gh, gw, mode.g, 64)
-        sub = grid[r0:r0 + gh_c, c0:c0 + gw_c].reshape(-1, mode.g, 64)
-        coeffs[i * per_img:(i + 1) * per_img] = sub
+        sub = grid[r0:r0 + gh_c, c0:c0 + gw_c]
+        dst = coeffs[i * per_img:(i + 1) * per_img].reshape(
+            gh_c, gw_c, mode.g, 64)
+        dst[: sub.shape[0], : sub.shape[1]] = sub
         qidx[i * per_img:(i + 1) * per_img] = i
     qpool = build_qpool(headers, mode)
     coeffs = _maybe_compact(coeffs, wire)
@@ -666,6 +697,42 @@ def _dispatch_staged_crops(staged, lane_tile: int, scale: int, norm=None,
     return out, headers
 
 
+def decode_batch_crops(
+    blobs: Sequence[bytes],
+    boxes: Sequence[Tuple[int, int]],
+    crop_hw: Tuple[int, int],
+    lane_tile: int = LANE_TILE,
+    scale: int = 1,
+    prepare_threads: int = 4,
+    wire: str = "auto",
+    dtype=None,
+    mean=None,
+    std=None,
+    mesh=None,
+) -> Tuple[jax.Array, List[JpegHeader]]:
+    """Batched random-crop decode over MIXED-SIZE images (r5).
+
+    The RandomResizedCrop shape for real corpora: images may differ in
+    dimensions (sampling mode must match — one compiled program per
+    mode); a fixed ``crop_hw`` means a fixed covering MCU sub-grid, so
+    the whole batch still decodes in ONE static-shape launch — host
+    entropy decode is whole-image (serial bitstream), but device work,
+    wire bytes, and the output scale with the CROP area, and there is no
+    per-size recompilation and no bucketing requirement.  Pixels are
+    bit-identical to the same slice of a full decode (tested).  Same
+    ``scale``/``dtype``/``mean``/``std``/``mesh`` semantics as
+    :func:`decode_same_size_batch_crops`.
+    """
+    norm = _norm_static(dtype, mean, std)
+    from pim_jpeg_decoder_tpu.utils.jaxtools import ensure_compilation_cache
+    ensure_compilation_cache()
+    staged = _host_stage_crops(blobs, boxes, crop_hw, lane_tile, scale,
+                               prepare_threads, wire, "decode_batch_crops",
+                               align=_mesh_align(mesh, lane_tile),
+                               same_size=False)
+    return _dispatch_staged_crops(staged, lane_tile, scale, norm, mesh)
+
+
 def iter_decode_batch_crops(
     crop_batches,
     crop_hw: Tuple[int, int],
@@ -678,6 +745,7 @@ def iter_decode_batch_crops(
     mean=None,
     std=None,
     mesh=None,
+    mixed_sizes: bool = False,
 ):
     """Streaming random-crop decode with host/device overlap.
 
@@ -688,7 +756,12 @@ def iter_decode_batch_crops(
     RandomResizedCrop training path (fixed ``crop_hw``/``scale`` keep one
     compiled program across batches).  ``dtype``/``mean``/``std`` fuse
     normalization into the decode program (see
-    :func:`decode_same_size_batch`).
+    :func:`decode_same_size_batch`).  ``mixed_sizes=True`` admits
+    batches of differently-sized images (see :func:`decode_batch_crops`;
+    batches must then be internally uniform only in sampling MODE, and
+    images within ~1 MCU of each other in grid size share one compiled
+    program automatically since the covering sub-grid depends only on
+    ``crop_hw``).
     """
     norm = _norm_static(dtype, mean, std)
 
@@ -697,7 +770,8 @@ def iter_decode_batch_crops(
             yield functools.partial(
                 _host_stage_crops, list(blobs), list(boxes), crop_hw,
                 lane_tile, scale, prepare_threads, wire,
-                "iter_decode_batch_crops", _mesh_align(mesh, lane_tile))
+                "iter_decode_batch_crops", _mesh_align(mesh, lane_tile),
+                not mixed_sizes)
 
     for staged in _prefetched(stage_thunks(), prefetch):
         yield _dispatch_staged_crops(staged, lane_tile, scale, norm, mesh)

@@ -468,3 +468,149 @@ class TestMeshBatchDecode:
             blobs[:4], boxes, crop_hw=(32, 32), lane_tile=16)
         np.testing.assert_array_equal(np.asarray(got_c),
                                       np.asarray(want_c))
+
+
+class TestMixedSizeBatchCrops:
+    """decode_batch_crops (r5): fixed-size random crops over MIXED-size
+    images in one static-shape launch — pixels bit-identical to the same
+    slice of each image's full decode."""
+
+    def _blobs_boxes(self, photo_image, rng, sampling="4:2:0"):
+        import io
+
+        from PIL import Image
+
+        sizes = [(160, 120), (96, 200), (131, 77), (64, 64)]
+        blobs, boxes = [], []
+        for i, (w, h) in enumerate(sizes):
+            img = np.array(Image.fromarray(photo_image).resize(
+                (w, h), Image.BILINEAR))
+            blobs.append(encode_jpeg(img, quality=80 + i, sampling=sampling))
+            y0 = int(rng.integers(0, h - 48 + 1))
+            x0 = int(rng.integers(0, w - 56 + 1))
+            boxes.append((y0, x0))
+        return blobs, boxes
+
+    def test_matches_full_decode_slices(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+
+        blobs, boxes = self._blobs_boxes(photo_image, rng)
+        out, headers = decode_batch_crops(blobs, boxes, (48, 56),
+                                          lane_tile=128)
+        assert out.shape == (4, 48, 56, 3)
+        host = np.asarray(out)
+        for i, (b, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            full = decode_bytes_oracle(b).rgb
+            np.testing.assert_array_equal(
+                host[i], full[y0:y0 + 48, x0:x0 + 56])
+
+    def test_gray_and_422(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+
+        blobs, boxes = self._blobs_boxes(photo_image, rng, sampling="4:2:2")
+        out, _ = decode_batch_crops(blobs, boxes, (48, 56), lane_tile=128)
+        host = np.asarray(out)
+        for i, (b, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            np.testing.assert_array_equal(
+                host[i],
+                decode_bytes_oracle(b).rgb[y0:y0 + 48, x0:x0 + 56])
+
+    def test_scaled(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+            decode_same_size_batch_crops,
+        )
+        from pim_jpeg_decoder_tpu.oracle.decoder import decode_scaled_oracle
+
+        blobs, _ = self._blobs_boxes(photo_image, rng)
+        boxes = [(16, 8), (0, 32), (4, 2), (8, 0)]
+        out, _ = decode_batch_crops(blobs, boxes, (48, 56), scale=2,
+                                    lane_tile=128)
+        assert np.asarray(out).shape == (4, 24, 28, 3)
+        host = np.asarray(out)
+        for i, (b, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            want = decode_scaled_oracle(b, 2)[y0 // 2:(y0 + 48) // 2,
+                                              x0 // 2:(x0 + 56) // 2]
+            np.testing.assert_array_equal(host[i], want)
+
+    def test_crop_as_large_as_smallest_image(self, photo_image, rng):
+        """A crop equal to the smallest image's full area: its covering
+        grid exceeds that image's own grid (zero-pad path)."""
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+
+        blobs, _ = self._blobs_boxes(photo_image, rng)
+        boxes = [(10, 20), (30, 5), (3, 7), (0, 0)]
+        out, _ = decode_batch_crops(blobs, boxes, (64, 64), lane_tile=128)
+        host = np.asarray(out)
+        for i, (b, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            np.testing.assert_array_equal(
+                host[i],
+                decode_bytes_oracle(b).rgb[y0:y0 + 64, x0:x0 + 64])
+
+    def test_mode_mismatch_rejected(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+
+        a = encode_jpeg(photo_image, quality=85, sampling="4:2:0")
+        b = encode_jpeg(photo_image, quality=85, sampling="4:4:4")
+        with pytest.raises(JpegError, match="identical sampling"):
+            decode_batch_crops([a, b], [(0, 0), (0, 0)], (32, 32),
+                               lane_tile=128)
+
+    def test_out_of_bounds_rejected(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+
+        blobs, _ = self._blobs_boxes(photo_image, rng)
+        with pytest.raises(ValueError, match="outside"):
+            decode_batch_crops(blobs, [(0, 0), (0, 0), (0, 0), (60, 60)],
+                               (48, 56), lane_tile=128)
+
+    def test_streaming_mixed(self, photo_image, rng):
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+            iter_decode_batch_crops,
+        )
+
+        blobs, boxes = self._blobs_boxes(photo_image, rng)
+        batches = [(blobs[:2], boxes[:2]), (blobs[2:], boxes[2:])]
+        streamed = list(iter_decode_batch_crops(
+            batches, (48, 56), lane_tile=128, mixed_sizes=True))
+        for (bl, bx), (out, _) in zip(batches, streamed):
+            want, _ = decode_batch_crops(bl, bx, (48, 56), lane_tile=128)
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(want))
+
+    def test_mixed_size_crops_match(self, photo_image, rng):
+        """decode_batch_crops (mixed sizes) under the mesh equals the
+        single-device program."""
+        import io
+
+        from PIL import Image
+
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+        from pim_jpeg_decoder_tpu.parallel.mesh import make_mesh
+
+        mesh8 = make_mesh(8)
+        blobs, boxes = [], []
+        for i, (w, h) in enumerate([(160, 120), (96, 200), (131, 77),
+                                    (64, 64)]):
+            img = np.array(Image.fromarray(photo_image).resize(
+                (w, h), Image.BILINEAR))
+            blobs.append(encode_jpeg(img, quality=80 + i, sampling="4:2:0"))
+            boxes.append((int(rng.integers(0, h - 48 + 1)),
+                          int(rng.integers(0, w - 56 + 1))))
+        out, _ = decode_batch_crops(blobs, boxes, (48, 56), lane_tile=16,
+                                    mesh=mesh8)
+        want, _ = decode_batch_crops(blobs, boxes, (48, 56), lane_tile=16)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))

@@ -140,6 +140,7 @@ def main() -> None:
     stats = {"valid": 0, "mismatch": 0, "corrupt_ok": 0,
              "corrupt_decoded": 0, "stream_batches": 0, "table_trials": 0,
              "prog_table_trials": 0, "mesh_trials": 0,
+             "mixed_crop_trials": 0,
              "failures": []}
     batch = []
 
@@ -437,6 +438,48 @@ def main() -> None:
                 return
             stats["prog_table_trials"] += 1
 
+    def mixed_crop_check() -> None:
+        """Property 7 (r5, mixed-size crop batches): decode_batch_crops
+        over randomly-sized images must equal the per-image oracle slices
+        (random crop size/origins, sampling, scale, lane tile)."""
+        from pim_jpeg_decoder_tpu.codec.encoder import encode_jpeg
+        from pim_jpeg_decoder_tpu.models.input_pipeline import (
+            decode_batch_crops,
+        )
+
+        sampling = str(rng.choice(SAMPLINGS))
+        scale = int(rng.choice([1, 1, 1, 2]))
+        # 8-multiples are automatically scale-multiples (scale <= 2 here).
+        ch = int(rng.integers(2, 8)) * 8
+        cw = int(rng.integers(2, 8)) * 8
+        blobs, boxes = [], []
+        for _ in range(int(rng.integers(2, 5))):
+            hh = int(rng.integers(ch, ch + 90))
+            ww = int(rng.integers(cw, cw + 90))
+            blobs.append(encode_jpeg(
+                rng.integers(0, 256, (hh, ww, 3), np.uint8),
+                quality=int(rng.integers(55, 95)), sampling=sampling))
+            y0 = int(rng.integers(0, hh - ch + 1)) // scale * scale
+            x0 = int(rng.integers(0, ww - cw + 1)) // scale * scale
+            boxes.append((y0, x0))
+        lt = int(rng.choice(mesh_tiles))
+        out, _ = decode_batch_crops(blobs, boxes, (ch, cw), scale=scale,
+                                    lane_tile=lt)
+        host = np.asarray(out)
+        for i, (b, (y0, x0)) in enumerate(zip(blobs, boxes)):
+            if scale == 1:
+                want = decode_bytes_oracle(b).rgb[y0:y0 + ch, x0:x0 + cw]
+            else:
+                want = decode_scaled_oracle(b, scale)[
+                    y0 // scale:(y0 + ch) // scale,
+                    x0 // scale:(x0 + cw) // scale]
+            if not np.array_equal(host[i], want):
+                stats["mismatch"] += 1
+                stats["failures"].append(
+                    ("mixed_crop", f"image {i} != oracle slice"))
+                return
+        stats["mixed_crop_trials"] += 1
+
     for i in range(iters):
         if rng.random() < 0.02:
             stream_check()
@@ -446,6 +489,8 @@ def main() -> None:
             prog_table_check()
         if rng.random() < 0.03:
             mesh_check()
+        if rng.random() < 0.03:
+            mixed_crop_check()
         name, data = random_jpeg(rng)
         mode = rng.random()
         if mode < 0.7:
