@@ -17,18 +17,20 @@ Top-level API (lazy so that pure-CPU users don't pay the JAX import):
 ``TpuJpegDecoder``, ``decode_file``, ``decode_bytes``, ``decode_region``,
 ``decode_scaled``; batch/streaming (models.input_pipeline re-exports):
 ``decode_same_size_batch``, ``decode_same_size_batch_crops``,
-``iter_decode_batches``, ``iter_decode_batch_crops``.
+``decode_batch_crops`` (mixed sizes), ``iter_decode_batches``,
+``iter_decode_batch_crops``.
 """
 
 from pim_jpeg_decoder_tpu.version import __version__
 
 __all__ = ["__version__", "TpuJpegDecoder", "decode_file", "decode_bytes",
            "decode_region", "decode_scaled", "decode_same_size_batch",
-           "decode_same_size_batch_crops", "iter_decode_batches",
-           "iter_decode_batch_crops"]
+           "decode_same_size_batch_crops", "decode_batch_crops",
+           "iter_decode_batches", "iter_decode_batch_crops"]
 
 _BATCH_API = ("decode_same_size_batch", "decode_same_size_batch_crops",
-              "iter_decode_batches", "iter_decode_batch_crops")
+              "decode_batch_crops", "iter_decode_batches",
+              "iter_decode_batch_crops")
 
 
 def __getattr__(name):
